@@ -1,0 +1,445 @@
+"""SDVAR speculative-decoding engine: draft VAR proposes whole token-scale
+maps, target VAR verifies a γ-scale window in one batched forward.
+
+Capability parity with the reference SDVAR wrapper:
+  - static draft→target handoff ("sd_test3", reference: models/var.py:604-865)
+    with all six sd_mask prefill variants;
+  - batched draft-γ/verify loop ("parallel_v1", reference:
+    models/var.py:1284-1383) with per-scale top-1 match acceptance (≥ 0.5,
+    cascade reject — var.py:1199-1222), dynamic γ shrink on total rejection
+    and the γ=1 force-accept livelock guard (var.py:1352-1364);
+  - draft/target weight pairs share ONE tokenizer (models/__init__.py:68,96);
+  - separate draft/target RNG streams so outputs are entry_num/γ-invariant
+    (the tmp/var.py:367-382 lesson) — here by key folding, not state threading.
+
+TPU-first improvements over the reference:
+  - the KV cache is offset-addressed with static per-scale offsets, so
+    speculative rollback is free: a rejected window's keys are simply
+    overwritten on the next write at the same offset (the reference instead
+    resets the whole cache each round, basic_var.py:87, var.py:958-959);
+  - verification attends to the full accepted prefix (the committed reference
+    loop verifies windows without prefix context — a Week-1 simplification
+    its own tmp/ experiments flag as wrong; we implement the intended
+    algorithm: the verify query for scale k is exactly what the baseline
+    decode would feed at scale k, so target logits are positionally correct);
+  - optional ``resample_on_reject``: sample the first rejected scale from the
+    target's own logits (classic speculative decoding), guaranteeing
+    target-quality progress each round. Off by default for reference parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvar_tpu.config import (
+    SamplingConfig,
+    SpeculativeConfig,
+    VARConfig,
+    VQVAEConfig,
+)
+from sdvar_tpu.engine.decode import DecodeState, init_decode, scale_step
+from sdvar_tpu.models import quantizer as Q
+from sdvar_tpu.models import var as M
+from sdvar_tpu.ops.masks import prefill_bias, verify_window_bias
+from sdvar_tpu.ops.sampling import cfg_mix, sample_with_top_k_top_p
+
+DRAFT_STREAM = 1
+TARGET_STREAM = 2
+
+
+@dataclass
+class SpecStats:
+    """Efficiency counters (reference: models/var.py:917-919,1048,1380)."""
+
+    target_calls: int = 0
+    draft_calls: int = 0
+    accept_count: int = 0
+    reject_count: int = 0
+    forced_accepts: int = 0
+    resampled_scales: int = 0
+    match_rates: List[float] = field(default_factory=list)
+
+    def as_dict(self) -> Dict:
+        return {
+            "target_calls": self.target_calls,
+            "draft_calls": self.draft_calls,
+            "accept_count": self.accept_count,
+            "reject_count": self.reject_count,
+            "forced_accepts": self.forced_accepts,
+            "resampled_scales": self.resampled_scales,
+            "match_rates": list(self.match_rates),
+        }
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces (all shapes static per (si) / (start, gamma))
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("var_cfg", "vae_cfg", "si", "samp", "dtype")
+)
+def _draft_scale_step(var_cfg, vae_cfg, params, quant_params, si,
+                      state, sos, lvl_pos, key, samp, dtype):
+    return scale_step(var_cfg, vae_cfg, params, quant_params, si, state,
+                      sos, lvl_pos, key, samp, dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("var_cfg", "start", "gamma", "samp", "dtype"),
+)
+def _target_verify_window(
+    var_cfg: VARConfig, params,
+    start: int, gamma: int,
+    cache: M.KVCache,
+    sos: jnp.ndarray, lvl_pos: jnp.ndarray,
+    hub: Tuple[jnp.ndarray, ...],   # window inputs: hub[j] is the continuous
+                                    # map feeding scale start+j (absent for scale 0)
+    samp: SamplingConfig, dtype,
+):
+    """One batched verify forward over scales [start, start+gamma).
+
+    Returns (per-scale target argmax ids, per-scale CFG'd logits, new cache).
+    """
+    pns = var_cfg.patch_nums
+    window = range(start, start + gamma)
+    B2 = sos.shape[0]
+    B = B2 // 2
+
+    qs = []
+    for j, k in enumerate(window):
+        bg, ed = var_cfg.begin_ends[k]
+        if k == 0:
+            q = (sos[:, None, :] + jnp.asarray(params["pos_start"])[None]
+                 + lvl_pos[None, : var_cfg.first_l]).astype(dtype)
+        else:
+            # hub holds inputs only for the non-first scales when the window
+            # starts at 0 (scale 0 is fed by the sos map, not a hub entry)
+            nm = hub[j - 1] if start == 0 else hub[j]
+            pn = pns[k]
+            nm = nm.reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
+            q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
+            q = jnp.tile(q, (2, 1, 1)).astype(dtype)
+        qs.append(q)
+    x = jnp.concatenate(qs, axis=1)
+
+    bg0 = var_cfg.begin_ends[start][0]
+    kv_len = var_cfg.begin_ends[start + gamma - 1][1]
+    bias = jnp.asarray(
+        verify_window_bias(pns, start, gamma, kv_len)
+    )[None, None]
+
+    h, cache = M.apply_transformer(
+        var_cfg, params, x, sos, attn_bias=bias,
+        cache=cache, cache_begin=bg0, kv_len=kv_len,
+    )
+    logits = M.get_logits(var_cfg, params, h, sos)  # (2B, Lq, V)
+
+    # per-token CFG strength t = cfg * k/(S-1) for each window scale
+    # (the tmp/var.py:1040-1047 get_t_per_token design)
+    t_vec = np.concatenate([
+        np.full(pns[k] * pns[k],
+                samp.cfg * k / var_cfg.num_stages_minus_1, dtype=np.float32)
+        for k in window
+    ])
+    mixed = cfg_mix(logits, jnp.asarray(t_vec))  # (B, Lq, V)
+
+    outs_argmax, outs_logits = [], []
+    pos = 0
+    for k in window:
+        n = pns[k] * pns[k]
+        lg = mixed[:, pos : pos + n]
+        outs_argmax.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
+        outs_logits.append(lg)
+        pos += n
+    return tuple(outs_argmax), tuple(outs_logits), cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("var_cfg", "vae_cfg", "entry_num", "sd_mask", "samp",
+                     "dtype"),
+)
+def _target_prefill_handoff(
+    var_cfg: VARConfig, vae_cfg: VQVAEConfig, params, quant_params,
+    entry_num: int, sd_mask: int,
+    cache: M.KVCache, sos, lvl_pos,
+    hub: Tuple[jnp.ndarray, ...],   # draft continuous maps for scales 1..entry_num
+    f_hat: jnp.ndarray,
+    key, samp: SamplingConfig, dtype,
+):
+    """Handoff prefill (reference: models/var.py:732-824): one forward over
+    the whole drafted prefix [0, ed(entry_num)) with the chosen sd_mask,
+    sampling ONLY the entry scale's tokens from the final slice."""
+    pns = var_cfg.patch_nums
+    B2 = sos.shape[0]
+    B = B2 // 2
+
+    qs = [(sos[:, None, :] + jnp.asarray(params["pos_start"])[None]
+           + lvl_pos[None, : var_cfg.first_l]).astype(dtype)]
+    for k in range(1, entry_num + 1):
+        bg, ed = var_cfg.begin_ends[k]
+        pn = pns[k]
+        nm = hub[k - 1].reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
+        q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
+        qs.append(jnp.tile(q, (2, 1, 1)).astype(dtype))
+    x = jnp.concatenate(qs, axis=1)
+
+    P = var_cfg.begin_ends[entry_num][1]
+    np_bias = prefill_bias(pns, entry_num, sd_mask)
+    bias = None if np_bias is None else jnp.asarray(np_bias)[None, None]
+
+    h, cache = M.apply_transformer(
+        var_cfg, params, x, sos, attn_bias=bias,
+        cache=cache, cache_begin=0, kv_len=P,
+    )
+    sbg, sed = var_cfg.begin_ends[entry_num]
+    logits = M.get_logits(var_cfg, params, h[:, sbg:sed], sos)
+
+    si = entry_num
+    ratio = si / var_cfg.num_stages_minus_1
+    mixed = cfg_mix(logits, samp.cfg * ratio)
+    skey = jax.random.fold_in(key, si)
+    ids = sample_with_top_k_top_p(mixed, skey, samp.top_k, samp.top_p)
+    h_BlC = Q.embed(quant_params, ids)
+    pn = pns[si]
+    h_BChw = h_BlC.transpose(0, 2, 1).reshape(B, var_cfg.Cvae, pn, pn)
+    f_hat, next_map = Q.next_autoregressive_input(
+        vae_cfg, quant_params, si, f_hat, h_BChw
+    )
+    return DecodeState(f_hat=f_hat, next_map=next_map, cache=cache), ids
+
+
+@functools.partial(jax.jit, static_argnames=("var_cfg", "vae_cfg", "si",))
+def _apply_tokens(var_cfg, vae_cfg, quant_params, si, f_hat, ids):
+    """Token ids of scale si -> (f_hat', next continuous map)."""
+    B = ids.shape[0]
+    pn = var_cfg.patch_nums[si]
+    h = Q.embed(quant_params, ids).transpose(0, 2, 1).reshape(
+        B, var_cfg.Cvae, pn, pn
+    )
+    return Q.next_autoregressive_input(vae_cfg, quant_params, si, f_hat, h)
+
+
+@jax.jit
+def _match_rate(draft_ids: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:
+    """Batch-global top-1 match rate (reference: models/var.py:1199-1203)."""
+    return jnp.mean((draft_ids == target_ids).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class SpeculativeEngine:
+    """Host-side orchestrator over jitted per-shape device programs.
+
+    All device programs are specialized per static (scale | window); the jit
+    cache makes repeated generation calls dispatch-only.
+    """
+
+    def __init__(
+        self,
+        vae_cfg: VQVAEConfig,
+        draft_cfg: VARConfig, target_cfg: VARConfig,
+        vae_params, draft_params, target_params,
+        dtype=jnp.bfloat16,
+    ):
+        assert draft_cfg.patch_nums == target_cfg.patch_nums
+        self.vae_cfg = vae_cfg
+        self.draft_cfg, self.target_cfg = draft_cfg, target_cfg
+        self.vae_params = vae_params
+        self.draft_params, self.target_params = draft_params, target_params
+        self.quant_params = vae_params["quant"]
+        self.dtype = dtype
+        self.num_scales = len(draft_cfg.patch_nums)
+
+    # -- draft side ---------------------------------------------------------
+
+    def _draft_scales(
+        self, state: DecodeState, sos, lvl_pos, start: int, gamma: int,
+        key: jax.Array, attempt: int, samp: SamplingConfig, stats: SpecStats,
+    ):
+        """Draft scales [start, start+gamma); returns per-scale
+        (state-after, ids, hub input used) with hub[j] = continuous input map
+        that feeds scale start+j+1 (reference draft_token_hub,
+        models/var.py:712-713)."""
+        dkey = jax.random.fold_in(key, DRAFT_STREAM)
+        if attempt:
+            dkey = jax.random.fold_in(dkey, 1000 + attempt)
+        states, ids_list, hub = [], [], []
+        for si in range(start, start + gamma):
+            state, ids = _draft_scale_step(
+                self.draft_cfg, self.vae_cfg, self.draft_params,
+                self.quant_params, si, state, sos, lvl_pos, dkey, samp,
+                self.dtype,
+            )
+            stats.draft_calls += 1
+            states.append(state)
+            ids_list.append(ids)
+            hub.append(state.next_map)
+        return states, ids_list, hub
+
+    # -- public API ---------------------------------------------------------
+
+    def generate_speculative(
+        self, label_B: jnp.ndarray, key: jax.Array,
+        spec: SpeculativeConfig = SpeculativeConfig(),
+        samp: SamplingConfig = SamplingConfig(),
+        resample_on_reject: bool = False,
+    ) -> Tuple[jnp.ndarray, SpecStats]:
+        """Batched draft-γ / verify loop (reference parallel_v1,
+        models/var.py:1284-1383). Returns (f_hat, stats)."""
+        stats = SpecStats()
+        S = self.num_scales
+
+        d_state, d_sos, d_lvl = init_decode(
+            self.draft_cfg, self.draft_params, label_B, self.dtype
+        )
+        t_state, t_sos, t_lvl = init_decode(
+            self.target_cfg, self.target_params, label_B, self.dtype
+        )
+        t_cache = t_state.cache
+        tkey = jax.random.fold_in(key, TARGET_STREAM)
+
+        stage = 0
+        gamma = spec.gamma
+        attempt = 0
+        while stage < S:
+            g = min(gamma, S - stage)
+            # 1. draft g scales
+            d_states, d_ids, d_hub = self._draft_scales(
+                d_state, d_sos, d_lvl, stage, g, key, attempt, samp, stats
+            )
+            # 2. target verifies the window in ONE forward
+            hub_in = tuple(
+                ([] if stage == 0 else [d_state.next_map])
+                + [s.next_map for s in d_states[:-1]]
+            )
+            t_argmax, t_logits, t_cache = _target_verify_window(
+                self.target_cfg, self.target_params, stage, g, t_cache,
+                t_sos, t_lvl, hub_in, samp, self.dtype,
+            )
+            stats.target_calls += 1
+
+            # 3. per-scale top-1 matching with cascade reject
+            rates = [float(_match_rate(d, t)) for d, t in zip(d_ids, t_argmax)]
+            stats.match_rates.extend(rates)
+            accept = 0
+            for r in rates:
+                if r >= spec.match_threshold:
+                    accept += 1
+                else:
+                    break
+
+            if accept > 0:
+                d_state = d_states[accept - 1]
+                stats.accept_count += accept
+                stage += accept
+                attempt = 0
+                if accept == g:
+                    continue
+            # some (or all) scales rejected
+            stats.reject_count += g - accept
+
+            if resample_on_reject and stage < S:
+                # classic speculative decoding: take the target's own sample
+                # for the first rejected scale — guaranteed progress with
+                # target-quality tokens.
+                j = accept
+                skey = jax.random.fold_in(jax.random.fold_in(tkey, stage), attempt)
+                ids = sample_with_top_k_top_p(
+                    t_logits[j], skey, samp.top_k, samp.top_p
+                )
+                f_hat, next_map = _apply_tokens(
+                    self.target_cfg, self.vae_cfg, self.quant_params,
+                    stage, d_state.f_hat, ids,
+                )
+                d_state = DecodeState(
+                    f_hat=f_hat, next_map=next_map,
+                    cache=(d_states[j].cache if j < len(d_states)
+                           else d_state.cache),
+                )
+                # NOTE: the draft's cached keys for this scale came from its
+                # own (rejected) tokens; the next draft write at this offset
+                # happens at stage+1 whose input is the corrected next_map,
+                # and scale stage's keys are refreshed on the next full pass.
+                stats.resampled_scales += 1
+                stage += 1
+                attempt = 0
+                continue
+
+            if accept == 0:
+                # dynamic gamma shrink; livelock guard at gamma=1
+                # (reference: models/var.py:1352-1364)
+                if spec.dynamic_gamma and gamma > 1:
+                    gamma = gamma - 1
+                    attempt += 1
+                elif spec.force_accept_at_gamma1:
+                    d_state = d_states[0]
+                    stats.accept_count += 1
+                    stats.forced_accepts += 1
+                    stage += 1
+                    attempt = 0
+                else:
+                    attempt += 1
+            else:
+                attempt += 1
+
+        return d_state.f_hat, stats
+
+    def generate_handoff(
+        self, label_B: jnp.ndarray, key: jax.Array,
+        entry_num: int = 4, sd_mask: int = 0,
+        samp: SamplingConfig = SamplingConfig(),
+    ) -> Tuple[jnp.ndarray, SpecStats]:
+        """Static draft→target handoff (reference sd_test3,
+        models/var.py:604-865): draft generates scales [0, entry_num), target
+        prefills that prefix (mask mode sd_mask) and finishes [entry_num, S).
+        """
+        stats = SpecStats()
+        S = self.num_scales
+        assert 0 < entry_num <= S
+
+        d_state, d_sos, d_lvl = init_decode(
+            self.draft_cfg, self.draft_params, label_B, self.dtype
+        )
+        d_states, _, hub = self._draft_scales(
+            d_state, d_sos, d_lvl, 0, entry_num, key, 0, samp, stats
+        )
+        d_state = d_states[-1]
+        if entry_num == S:
+            return d_state.f_hat, stats
+
+        t_state, t_sos, t_lvl = init_decode(
+            self.target_cfg, self.target_params, label_B, self.dtype
+        )
+        tkey = jax.random.fold_in(key, TARGET_STREAM)
+        state, _ = _target_prefill_handoff(
+            self.target_cfg, self.vae_cfg, self.target_params,
+            self.quant_params, entry_num, sd_mask,
+            t_state.cache, t_sos, t_lvl, tuple(hub),
+            d_state.f_hat, tkey, samp, self.dtype,
+        )
+        stats.target_calls += 1
+
+        for si in range(entry_num + 1, S):
+            state, _ = _draft_scale_step(
+                self.target_cfg, self.vae_cfg, self.target_params,
+                self.quant_params, si, state, t_sos, t_lvl, tkey, samp,
+                self.dtype,
+            )
+            stats.target_calls += 1
+        return state.f_hat, stats
+
+    def decode_image(self, f_hat: jnp.ndarray) -> jnp.ndarray:
+        from sdvar_tpu.models import vqvae as VQ
+
+        img = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
+        return (img + 1.0) * 0.5

@@ -1,0 +1,409 @@
+"""VAR decoder-only transformer over the flattened scale sequence.
+
+Capability parity with the reference ``VAR`` module (reference:
+models/var.py:22-314) and its AdaLN blocks (models/basic_var.py:33-174):
+word-embed linear over continuous VQ features, class embedding "sos", learned
+absolute position + level embeddings, pre-norm blocks with adaptive-LayerNorm
+conditioning (6 modulations per block), optional shared AdaLN, optional
+L2-normalized QK attention with learned clamped per-head scale, AdaLN-before-
+head classifier.
+
+TPU-first design: parameters are a pytree with all per-layer tensors stacked
+on a leading ``depth`` axis, and the block stack is applied with
+``jax.lax.scan`` — one traced block body regardless of depth, which keeps
+compile time flat and lets XLA pipeline layer-by-layer HBM prefetch. The KV
+cache is a preallocated static-shape array written at static offsets (the
+scale schedule is static), replacing the reference's per-step torch.cat
+(basic_var.py:107-109) which XLA cannot compile to a fixed buffer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvar_tpu.config import VARConfig
+
+Params = Dict
+HI = jax.lax.Precision.HIGHEST
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache.
+
+    k, v: (depth, B, L_max, H, hd). The decode engine tracks the valid length
+    statically (scale schedule is static), so "rollback" after a rejected
+    speculative window is just not advancing the write offset.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: VARConfig, batch: int, max_len: Optional[int] = None,
+               dtype=jnp.bfloat16) -> "KVCache":
+        L = max_len or cfg.L
+        shape = (cfg.depth, batch, L, cfg.num_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Initialization (mirrors reference init_weights, models/var.py:261-311,
+# with build_vae_var defaults init_adaln=0.5, init_adaln_gamma=1e-5,
+# init_head=0.02, init_std=-1 -> sqrt(1/C/3); models/__init__.py:24)
+# ---------------------------------------------------------------------------
+
+def init_var_params(
+    cfg: VARConfig, key: jax.Array,
+    init_adaln: float = 0.5, init_adaln_gamma: float = 1e-5,
+    init_head: float = 0.02, init_std: float = -1.0,
+    dtype=jnp.float32,
+) -> Params:
+    C, D, V = cfg.embed_dim, cfg.cond_dim, cfg.vocab_size
+    H, hd, depth = cfg.num_heads, cfg.head_dim, cfg.depth
+    hidden = cfg.mlp_hidden
+    std = math.sqrt(1 / C / 3) if init_std < 0 else init_std
+
+    keys = iter(jax.random.split(key, 32))
+
+    def tn(shape, s=std):
+        # torch trunc_normal_ bounds are +/-2 in value space; at s ~ 0.02-0.05
+        # that is >40 sigma, i.e. an ordinary normal. Clip for exactness.
+        # Cast per-leaf at creation so bf16 init never materializes the full
+        # f32 tree (d30 is 2B params).
+        return jnp.clip(
+            jax.random.normal(next(keys), shape) * s, -2.0, 2.0
+        ).astype(dtype)
+
+    blocks = {
+        "qkv_w": tn((depth, C, 3 * C)),
+        "q_bias": jnp.zeros((depth, C)),
+        "v_bias": jnp.zeros((depth, C)),
+        "proj_w": tn((depth, C, C)) / math.sqrt(2 * depth),
+        "proj_b": jnp.zeros((depth, C)),
+        "fc1_w": tn((depth, C, hidden)),
+        "fc1_b": jnp.zeros((depth, hidden)),
+        "fc2_w": tn((depth, hidden, C)) / math.sqrt(2 * depth),
+        "fc2_b": jnp.zeros((depth, C)),
+    }
+    if cfg.attn_l2_norm:
+        blocks["scale_mul"] = jnp.full((depth, H), math.log(4.0))
+    if cfg.shared_aln:
+        # per-block learned offsets on top of a single shared AdaLN linear
+        # (reference: models/basic_var.py:143-144, models/var.py:81)
+        gss = jax.random.normal(next(keys), (depth, 1, 6, C)) / math.sqrt(C)
+        gss = gss.at[:, :, 2:].multiply(init_adaln)
+        gss = gss.at[:, :, :2].multiply(init_adaln_gamma)
+        blocks["ada_gss"] = gss
+    else:
+        w = tn((depth, D, 6 * C))
+        w = w.at[:, :, 2 * C:].multiply(init_adaln)
+        w = w.at[:, :, : 2 * C].multiply(init_adaln_gamma)
+        blocks["ada_lin_w"] = w
+        blocks["ada_lin_b"] = jnp.zeros((depth, 6 * C))
+
+    params = {
+        "word_embed": {"w": tn((cfg.Cvae, C)), "b": jnp.zeros((C,))},
+        "class_emb": tn((cfg.num_classes + 1, C)),
+        "pos_start": tn((cfg.first_l, C)),
+        "pos_1LC": tn((cfg.L, C)),
+        "lvl_embed": tn((cfg.num_scales, C)),
+        "blocks": blocks,
+        "head_nm": {"w": tn((D, 2 * C)) * init_adaln, "b": jnp.zeros((2 * C,))},
+        "head": {"w": tn((C, V)) * init_head, "b": jnp.zeros((V,))},
+    }
+    if cfg.shared_aln:
+        params["shared_ada_lin"] = {"w": tn((D, 6 * C)), "b": jnp.zeros((6 * C,))}
+    return jax.tree.map(lambda a: a.astype(dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _ln(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """LayerNorm without affine (reference ln_wo_grad,
+    models/basic_var.py:141)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+
+
+def cond_six(cfg: VARConfig, params: Params, cond_BD: jnp.ndarray,
+             dtype=jnp.float32) -> jnp.ndarray:
+    """Precompute the shared part of AdaLN conditioning.
+
+    Non-shared: returns silu(cond) (B, D) — each block applies its own linear.
+    Shared: returns the (B, 1, 6, C) shared projection; blocks add ada_gss.
+    (reference: models/basic_var.py:152-156, models/var.py:16-19,81)
+    """
+    c = jax.nn.silu(cond_BD.astype(jnp.float32))
+    if cfg.shared_aln:
+        sal = params["shared_ada_lin"]
+        g = jnp.einsum("bd,dk->bk", c, sal["w"].astype(jnp.float32),
+                       preferred_element_type=jnp.float32) + sal["b"]
+        return g.reshape(-1, 1, 6, cfg.embed_dim).astype(dtype)
+    return c.astype(dtype)
+
+
+def _block_modulations(cfg: VARConfig, layer: Dict, cond_pre: jnp.ndarray):
+    """Per-block (gamma1, gamma2, scale1, scale2, shift1, shift2), each
+    (B, 1, C)."""
+    C = cfg.embed_dim
+    if cfg.shared_aln:
+        six = (cond_pre + layer["ada_gss"][None]).astype(jnp.float32)
+    else:
+        six = jnp.einsum(
+            "bd,dk->bk", cond_pre.astype(jnp.float32),
+            layer["ada_lin_w"].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + layer["ada_lin_b"]
+        six = six.reshape(-1, 1, 6, C)
+    return [six[:, :, i, :] for i in range(6)]
+
+
+def _attention(
+    cfg: VARConfig, layer: Dict, x: jnp.ndarray,
+    attn_bias: Optional[jnp.ndarray],
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_begin: int, kv_len: int,
+):
+    """Self-attention for one block.
+
+    Without cache: keys/values are the current tokens (training / prefill
+    without reuse). With cache: new KV are written at [cache_begin, ...) and
+    attention reads keys [0, kv_len) — both offsets STATIC.
+
+    Returns (out, (new_k_slab, new_v_slab) or None).
+    reference: models/basic_var.py:58-125.
+    """
+    B, L, C = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    qkv_bias = jnp.concatenate(
+        [layer["q_bias"], jnp.zeros_like(layer["q_bias"]), layer["v_bias"]]
+    ).astype(x.dtype)
+    qkv = (
+        jnp.einsum("blc,ck->blk", x, layer["qkv_w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+        + qkv_bias
+    )
+    q, k, v = [a.reshape(B, L, H, hd) for a in jnp.split(qkv, 3, axis=-1)]
+
+    if cfg.attn_l2_norm:
+        scale = 1.0
+        smul = jnp.exp(
+            jnp.minimum(layer["scale_mul"].astype(jnp.float32), math.log(100.0))
+        )  # (H,)
+        q = (_l2norm(q).astype(jnp.float32) * smul[None, None, :, None]).astype(x.dtype)
+        k = _l2norm(k)
+    else:
+        scale = 0.25 / math.sqrt(hd)
+
+    new_slabs = None
+    if cache_kv is not None:
+        ck, cv = cache_kv  # (B, L_max, H, hd)
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_begin, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_begin, axis=1)
+        new_slabs = (ck, cv)
+        k = ck[:, :kv_len].astype(x.dtype)
+        v = cv[:, :kv_len].astype(x.dtype)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, L, C)
+    out = (
+        jnp.einsum("blc,ck->blk", out, layer["proj_w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+        + layer["proj_b"].astype(x.dtype)
+    )
+    return out, new_slabs
+
+
+def _ffn(cfg: VARConfig, layer: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = (
+        jnp.einsum("blc,ck->blk", x, layer["fc1_w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+        + layer["fc1_b"].astype(x.dtype)
+    )
+    h = jax.nn.gelu(h, approximate=True)  # GELU(tanh), basic_var.py:40
+    h = (
+        jnp.einsum("blk,kc->blc", h, layer["fc2_w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+        + layer["fc2_b"].astype(x.dtype)
+    )
+    return h
+
+
+def apply_transformer(
+    cfg: VARConfig, params: Params, x: jnp.ndarray, cond_BD: jnp.ndarray,
+    attn_bias: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    cache_begin: int = 0, kv_len: int = 0,
+    drop_path_key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the block stack via lax.scan over stacked layer params.
+
+    x: (B, L, C) in compute dtype; cond_BD: (B, D) raw class embedding.
+    attn_bias: optional (1|B, 1, Lq, Lk) additive bias.
+    cache: optional KVCache; new tokens written at cache_begin, attention
+    over keys [0, kv_len).
+    drop_path_key: enables stochastic depth (training) with per-layer rates
+    linspace(0, cfg.dpr, depth) (reference: models/var.py:85).
+    """
+    cond_pre = cond_six(cfg, params, cond_BD, dtype=jnp.float32)
+    depth = cfg.depth
+    dpr = jnp.linspace(0.0, cfg.dpr, depth) if drop_path_key is not None else None
+
+    def body(carry, inp):
+        h = carry
+        if cache is not None:
+            layer, ck, cv, li = inp
+        else:
+            layer, li = inp
+        g1, g2, s1, s2, sh1, sh2 = _block_modulations(cfg, layer, cond_pre)
+        g1, g2, s1, s2, sh1, sh2 = [t.astype(h.dtype) for t in (g1, g2, s1, s2, sh1, sh2)]
+
+        a_in = _ln(h, cfg.norm_eps) * (1.0 + s1) + sh1
+        a_out, new_slabs = _attention(
+            cfg, layer, a_in, attn_bias,
+            (ck, cv) if cache is not None else None, cache_begin, kv_len,
+        )
+        a_out = a_out * g1
+        if dpr is not None:
+            rate = dpr[li]
+            bkey = jax.random.fold_in(drop_path_key, 2 * li)
+            keep = jax.random.bernoulli(bkey, 1.0 - rate, (h.shape[0], 1, 1))
+            a_out = a_out * keep.astype(h.dtype) / jnp.maximum(1.0 - rate, 1e-6).astype(h.dtype)
+        h = h + a_out
+
+        f_in = _ln(h, cfg.norm_eps) * (1.0 + s2) + sh2
+        f_out = _ffn(cfg, layer, f_in) * g2
+        if dpr is not None:
+            rate = dpr[li]
+            bkey = jax.random.fold_in(drop_path_key, 2 * li + 1)
+            keep = jax.random.bernoulli(bkey, 1.0 - rate, (h.shape[0], 1, 1))
+            f_out = f_out * keep.astype(h.dtype) / jnp.maximum(1.0 - rate, 1e-6).astype(h.dtype)
+        h = h + f_out
+
+        if cache is not None:
+            return h, new_slabs
+        return h, None
+
+    li = jnp.arange(depth)
+    if cache is not None:
+        xs = (params["blocks"], cache.k, cache.v, li)
+        x, slabs = jax.lax.scan(body, x, xs)
+        return x, KVCache(k=slabs[0], v=slabs[1])
+    x, _ = jax.lax.scan(body, x, (params["blocks"], li))
+    return x, None
+
+
+def get_logits(cfg: VARConfig, params: Params, h: jnp.ndarray,
+               cond_BD: jnp.ndarray) -> jnp.ndarray:
+    """AdaLN-before-head + classifier, always f32
+    (reference: models/var.py:119-125, models/basic_var.py:165-174)."""
+    C = cfg.embed_dim
+    hn = params["head_nm"]
+    ss = jnp.einsum(
+        "bd,dk->bk", jax.nn.silu(cond_BD.astype(jnp.float32)),
+        hn["w"].astype(jnp.float32), preferred_element_type=jnp.float32,
+    ) + hn["b"]
+    ss = ss.reshape(-1, 1, 2, C)
+    scale, shift = ss[:, :, 0, :], ss[:, :, 1, :]
+    h32 = _ln(h.astype(jnp.float32), cfg.norm_eps) * (scale + 1.0) + shift
+    return jnp.einsum(
+        "blc,cv->blv", h32, params["head"]["w"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + params["head"]["b"]
+
+
+def word_embed(params: Params, x_BLCv: jnp.ndarray, dtype) -> jnp.ndarray:
+    we = params["word_embed"]
+    y = jnp.einsum(
+        "blc,ck->blk", x_BLCv.astype(jnp.float32), we["w"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + we["b"]
+    return y.astype(dtype)
+
+
+def lvl_pos_embed(cfg: VARConfig, params: Params) -> jnp.ndarray:
+    """Level embedding broadcast over each scale's tokens + absolute pos,
+    (L, C) (reference lvl_pos, models/var.py:164)."""
+    lvl_1L = np.concatenate(
+        [np.full(pn * pn, i) for i, pn in enumerate(cfg.patch_nums)]
+    )
+    return params["lvl_embed"][lvl_1L] + params["pos_1LC"]
+
+
+def sos_map(cfg: VARConfig, params: Params, label_2B: jnp.ndarray,
+            lvl_pos: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First-scale input map from class embeddings.
+
+    label_2B already contains [cond ‖ uncond] rows for CFG.
+    Returns (cond_BD (2B, D), first token map (2B, first_l, C)).
+    (reference: models/var.py:162,178-183)
+    """
+    sos = params["class_emb"][label_2B]  # (2B, C)
+    first = (
+        sos[:, None, :]
+        + params["pos_start"][None]
+        + lvl_pos[None, : cfg.first_l]
+    )
+    return sos, first.astype(dtype)
+
+
+def var_train_forward(
+    cfg: VARConfig, params: Params, label_B: jnp.ndarray,
+    x_BLCv_wo_first_l: jnp.ndarray,
+    train_key: Optional[jax.Array] = None,
+    attn_bias: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Teacher-forcing forward -> logits (B, L, V)
+    (reference: models/var.py:217-259).
+
+    When ``train_key`` is given, applies conditional-embedding dropout
+    (cond_drop_rate) and stochastic depth; otherwise runs deterministically.
+    ``attn_bias`` defaults to the block-causal training mask.
+    """
+    from sdvar_tpu.ops.masks import block_causal_bias
+
+    B = x_BLCv_wo_first_l.shape[0]
+    if train_key is not None and cfg.cond_drop_rate > 0:
+        ck = jax.random.fold_in(train_key, 0xC0DE)
+        drop = jax.random.uniform(ck, (B,)) < cfg.cond_drop_rate
+        label_B = jnp.where(drop, cfg.num_classes, label_B)
+
+    sos = params["class_emb"][label_B]  # (B, C)
+    first = sos[:, None, :] + params["pos_start"][None]  # (B, first_l, C)
+    we = word_embed(params, x_BLCv_wo_first_l, jnp.float32)
+    x = jnp.concatenate([first, we], axis=1)
+    x = (x + lvl_pos_embed(cfg, params)[None]).astype(dtype)
+
+    if attn_bias is None:
+        attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))[None, None]
+    dp_key = None
+    if train_key is not None and cfg.dpr > 0:
+        dp_key = jax.random.fold_in(train_key, 0xD80)
+    h, _ = apply_transformer(cfg, params, x, sos, attn_bias=attn_bias,
+                             drop_path_key=dp_key)
+    return get_logits(cfg, params, h, sos)
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))

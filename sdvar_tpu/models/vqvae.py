@@ -1,0 +1,273 @@
+"""VQVAE: conv encoder/decoder around the multi-scale residual quantizer.
+
+Capability parity with the reference ``VQVAE`` (reference: models/vqvae.py:16-95)
+and its Stable-Diffusion-style CNN backbone (reference: models/basic_vae.py):
+GroupNorm(32) + swish ResNet blocks, non-local self-attention at the lowest
+resolution and in the mid block, strided-conv downsampling with (0,1,0,1)
+padding, nearest-neighbour x2 upsampling + conv.
+
+TPU-first notes: pure functions over a params pytree, NCHW layout with OIHW
+kernels (torch checkpoint-compatible), f32 throughout (the tokenizer is the
+numerics-critical path; its cost is negligible next to the transformer).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvar_tpu.config import VQVAEConfig
+from sdvar_tpu.models import quantizer as Q
+
+Params = Dict
+HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
+           padding=((1, 1), (1, 1))) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=HI,
+    )
+    return y + p["b"][None, :, None, None]
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int = 32,
+               eps: float = 1e-6) -> jnp.ndarray:
+    B, C, H, W = x.shape
+    xg = x.reshape(B, groups, C // groups, H, W)
+    mu = jnp.mean(xg, axis=(2, 3, 4), keepdims=True)
+    var = jnp.var(xg, axis=(2, 3, 4), keepdims=True)
+    xg = (xg - mu) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(B, C, H, W)
+    return x * p["g"][None, :, None, None] + p["b"][None, :, None, None]
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def resnet_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """reference: models/basic_vae.py:40-60."""
+    h = conv2d(p["conv1"], swish(group_norm(p["norm1"], x)))
+    h = conv2d(p["conv2"], swish(group_norm(p["norm2"], h)))
+    if "nin_shortcut" in p:
+        x = conv2d(p["nin_shortcut"], x, padding=((0, 0), (0, 0)))
+    return x + h
+
+
+def attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Non-local single-head self-attention (reference:
+    models/basic_vae.py:63-92)."""
+    B, C, H, W = x.shape
+    qkv = conv2d(p["qkv"], group_norm(p["norm"], x), padding=((0, 0), (0, 0)))
+    q, k, v = jnp.split(qkv, 3, axis=1)  # each (B, C, H, W)
+    q = q.reshape(B, C, H * W).transpose(0, 2, 1)  # B, HW, C
+    k = k.reshape(B, C, H * W)
+    w = jax.nn.softmax(
+        jnp.einsum("bnc,bcm->bnm", q, k, precision=HI) * (C ** -0.5), axis=2
+    )
+    v = v.reshape(B, C, H * W)
+    h = jnp.einsum("bcm,bnm->bcn", v, w, precision=HI).reshape(B, C, H, W)
+    return x + conv2d(p["proj_out"], h, padding=((0, 0), (0, 0)))
+
+
+def downsample2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Pad right/bottom by 1 then 3x3 stride-2 conv (reference:
+    models/basic_vae.py:31-37)."""
+    return conv2d(p, x, stride=2, padding=((0, 1), (0, 1)))
+
+
+def upsample2x(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest x2 then conv (reference: models/basic_vae.py:22-28)."""
+    B, C, H, W = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    return conv2d(p, x)
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encoder_forward(cfg: VQVAEConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, H, W) in [-1, 1] -> (B, Cvae, H/16, W/16)
+    (reference: models/basic_vae.py:144-160)."""
+    nres = len(cfg.ch_mult)
+    h = conv2d(p["conv_in"], x)
+    for i, level in enumerate(p["down"]):
+        for j in range(cfg.num_res_blocks):
+            h = resnet_block(level["block"][j], h)
+            if level["attn"]:
+                h = attn_block(level["attn"][j], h)
+        if i != nres - 1:
+            h = downsample2x(level["downsample"], h)
+    h = resnet_block(p["mid"]["block_1"], h)
+    if cfg.using_mid_sa:
+        h = attn_block(p["mid"]["attn_1"], h)
+    h = resnet_block(p["mid"]["block_2"], h)
+    return conv2d(p["conv_out"], swish(group_norm(p["norm_out"], h)))
+
+
+def decoder_forward(cfg: VQVAEConfig, p: Params, z: jnp.ndarray) -> jnp.ndarray:
+    """(B, Cvae, h, w) -> (B, 3, 16h, 16w) (reference:
+    models/basic_vae.py:210-226)."""
+    nres = len(cfg.ch_mult)
+    h = conv2d(p["conv_in"], z)
+    h = resnet_block(p["mid"]["block_1"], h)
+    if cfg.using_mid_sa:
+        h = attn_block(p["mid"]["attn_1"], h)
+    h = resnet_block(p["mid"]["block_2"], h)
+    for i in reversed(range(nres)):
+        level = p["up"][i]
+        for j in range(cfg.num_res_blocks + 1):
+            h = resnet_block(level["block"][j], h)
+            if level["attn"]:
+                h = attn_block(level["attn"][j], h)
+        if i != 0:
+            h = upsample2x(level["upsample"], h)
+    return conv2d(p["conv_out"], swish(group_norm(p["norm_out"], h)))
+
+
+# ---------------------------------------------------------------------------
+# public VQVAE API (reference: models/vqvae.py:56-90)
+# ---------------------------------------------------------------------------
+
+def img_to_f(cfg: VQVAEConfig, p: Params, img: jnp.ndarray) -> jnp.ndarray:
+    f = encoder_forward(cfg, p["encoder"], img.astype(jnp.float32))
+    return conv2d(p["quant_conv"], f)
+
+
+def img_to_idxBl(cfg: VQVAEConfig, p: Params, img: jnp.ndarray,
+                 patch_nums=None) -> List[jnp.ndarray]:
+    return Q.encode(cfg, p["quant"], img_to_f(cfg, p, img),
+                    patch_nums=patch_nums)
+
+
+def fhat_to_img(cfg: VQVAEConfig, p: Params, f_hat: jnp.ndarray) -> jnp.ndarray:
+    """f_hat -> image in [-1, 1] (reference: models/vqvae.py:62-63)."""
+    z = conv2d(p["post_quant_conv"], f_hat.astype(jnp.float32))
+    return jnp.clip(decoder_forward(cfg, p["decoder"], z), -1.0, 1.0)
+
+
+def img_to_reconstructed_img(cfg: VQVAEConfig, p: Params,
+                             img: jnp.ndarray) -> jnp.ndarray:
+    fhats = Q.encode(cfg, p["quant"], img_to_f(cfg, p, img), return_fhat=True)
+    return fhat_to_img(cfg, p, fhats[-1])
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, cin, cout, ks) -> Params:
+    fan_in = cin * ks * ks
+    lim = 1.0 / np.sqrt(fan_in)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (cout, cin, ks, ks), minval=-lim, maxval=lim),
+        "b": jax.random.uniform(kb, (cout,), minval=-lim, maxval=lim),
+    }
+
+
+def _gn_init(c) -> Params:
+    return {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
+
+
+def _res_init(key, cin, cout) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _gn_init(cin), "conv1": _conv_init(k1, cin, cout, 3),
+        "norm2": _gn_init(cout), "conv2": _conv_init(k2, cout, cout, 3),
+    }
+    if cin != cout:
+        p["nin_shortcut"] = _conv_init(k3, cin, cout, 1)
+    return p
+
+
+def _attn_init(key, c) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": _gn_init(c),
+        "qkv": _conv_init(k1, c, 3 * c, 1),
+        "proj_out": _conv_init(k2, c, c, 1),
+    }
+
+
+def init_vqvae_params(cfg: VQVAEConfig, key: jax.Array) -> Params:
+    ch, zc = cfg.ch, cfg.z_channels
+    nres = len(cfg.ch_mult)
+    keys = iter(jax.random.split(key, 256))
+
+    def nk():
+        return next(keys)
+
+    # encoder
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    enc_down = []
+    for i in range(nres):
+        cin, cout = ch * in_mult[i], ch * cfg.ch_mult[i]
+        blocks, attns = [], []
+        c = cin
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_res_init(nk(), c, cout))
+            c = cout
+            if i == nres - 1 and cfg.using_sa:
+                attns.append(_attn_init(nk(), c))
+        lvl = {"block": blocks, "attn": attns}
+        if i != nres - 1:
+            lvl["downsample"] = _conv_init(nk(), c, c, 3)
+        enc_down.append(lvl)
+    cmid = ch * cfg.ch_mult[-1]
+    encoder = {
+        "conv_in": _conv_init(nk(), 3, ch, 3),
+        "down": enc_down,
+        "mid": {
+            "block_1": _res_init(nk(), cmid, cmid),
+            "attn_1": _attn_init(nk(), cmid),
+            "block_2": _res_init(nk(), cmid, cmid),
+        },
+        "norm_out": _gn_init(cmid),
+        "conv_out": _conv_init(nk(), cmid, zc, 3),
+    }
+
+    # decoder
+    dec_up: List[Optional[Params]] = [None] * nres
+    c = cmid
+    for i in reversed(range(nres)):
+        cout = ch * cfg.ch_mult[i]
+        blocks, attns = [], []
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(_res_init(nk(), c, cout))
+            c = cout
+            if i == nres - 1 and cfg.using_sa:
+                attns.append(_attn_init(nk(), c))
+        lvl = {"block": blocks, "attn": attns}
+        if i != 0:
+            lvl["upsample"] = _conv_init(nk(), c, c, 3)
+        dec_up[i] = lvl
+    decoder = {
+        "conv_in": _conv_init(nk(), zc, cmid, 3),
+        "mid": {
+            "block_1": _res_init(nk(), cmid, cmid),
+            "attn_1": _attn_init(nk(), cmid),
+            "block_2": _res_init(nk(), cmid, cmid),
+        },
+        "up": dec_up,
+        "norm_out": _gn_init(ch * cfg.ch_mult[0]),
+        "conv_out": _conv_init(nk(), ch * cfg.ch_mult[0], 3, 3),
+    }
+
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "quant_conv": _conv_init(nk(), zc, zc, cfg.quant_conv_ks),
+        "post_quant_conv": _conv_init(nk(), zc, zc, cfg.quant_conv_ks),
+        "quant": Q.init_quantizer_params(cfg, nk()),
+    }

@@ -1,0 +1,93 @@
+"""Top-k / top-p filtered categorical sampling and gumbel-softmax.
+
+Capability parity with the reference sampling kernels
+(reference: models/helpers.py:6-36): identical top-k and top-p masking
+semantics (including torch's keep-the-largest tie handling for top-p), but
+sampling itself uses the Gumbel-max trick with JAX PRNG keys instead of
+``torch.multinomial`` — same distribution, deterministic under a key, and a
+single fused argmax on TPU instead of a CDF inversion.
+
+RNG discipline (the reference's hardest-won lesson, tmp/var.py:341-382:
+separate draft/target generators so outputs are entry_num-invariant): callers
+derive the key for scale ``si`` via ``jax.random.fold_in(stream_key, si)``,
+making every scale's sample independent of HOW the loop arrived there —
+entry_num/gamma invariance holds by construction, not by careful state
+threading.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def mask_top_k(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Keep the k largest logits per row; others -> -inf
+    (reference: models/helpers.py:8-10). Static k."""
+    if top_k <= 0 or top_k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def mask_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering with torch-parity semantics
+    (reference: models/helpers.py:11-15): sort ascending, drop entries whose
+    ascending-softmax-cumsum <= 1-p, never drop the largest."""
+    if top_p <= 0.0 or top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)
+    idx = jnp.argsort(logits, axis=-1)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, idx, remove_sorted, axis=-1,
+                                inplace=False)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def sample_with_top_k_top_p(
+    logits_BlV: jnp.ndarray, key: jax.Array,
+    top_k: int = 0, top_p: float = 0.0,
+) -> jnp.ndarray:
+    """Sample token ids (B, l) from filtered logits via Gumbel-max."""
+    masked = mask_top_p(mask_top_k(logits_BlV.astype(jnp.float32), top_k), top_p)
+    g = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+    return jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
+
+
+def greedy(logits_BlV: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits_BlV, axis=-1).astype(jnp.int32)
+
+
+def gumbel_softmax(
+    logits: jnp.ndarray, key: Optional[jax.Array], tau: float = 1.0,
+    hard: bool = False, axis: int = -1,
+) -> jnp.ndarray:
+    """Gumbel-softmax (reference gumbel_softmax_with_rng,
+    models/helpers.py:22-36); used by the ``more_smooth`` decode mode."""
+    g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau, axis=axis)
+    if not hard:
+        return y_soft
+    index = jnp.argmax(y_soft, axis=axis)
+    y_hard = jax.nn.one_hot(index, logits.shape[axis], axis=axis,
+                            dtype=y_soft.dtype)
+    return y_hard + jax.lax.stop_gradient(y_soft) - y_soft
+
+
+def cfg_mix(logits_2BlV: jnp.ndarray, t: jnp.ndarray | float) -> jnp.ndarray:
+    """Classifier-free guidance mix over a doubled batch:
+    (1+t)*cond - t*uncond (reference: models/var.py:199-200). ``t`` may be a
+    scalar or a per-token vector (l,) for multi-scale verify windows."""
+    B = logits_2BlV.shape[0] // 2
+    cond, uncond = logits_2BlV[:B], logits_2BlV[B:]
+    if not jnp.isscalar(t) and getattr(t, "ndim", 0) == 1:
+        t = t[None, :, None]
+    return (1.0 + t) * cond - t * uncond

@@ -1,0 +1,102 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's NCCL wrapper (reference: dist.py) and DDP (train.py:102).
+
+Design (SURVEY.md §5.8): a 2-D ``Mesh(("data", "model"))``. Data parallelism
+shards the batch axis (gradient psum is implicit in the compiled backward —
+no DDP hooks); tensor parallelism shards attention heads, FFN hidden, the
+AdaLN projections' output channels, and the vocab head across "model".
+The per-scale KV cache is sharded over batch and heads. On hardware, lay the
+"model" axis over ICI within a slice and "data" across hosts/DCN.
+
+A 1-device mesh makes every annotation a no-op — the analogue of the
+reference's "not initialized -> collectives no-op" behavior (dist.py:97-119).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdvar_tpu.config import MeshConfig, VARConfig
+
+DATA, MODEL = "data", "model"
+
+
+def create_mesh(cfg: MeshConfig | None = None,
+                devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if cfg is None:
+        cfg = MeshConfig(data=1, model=len(devices))
+    n = cfg.data * cfg.model
+    assert n <= len(devices), (cfg, len(devices))
+    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
+    return Mesh(arr, (DATA, MODEL))
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), (DATA, MODEL))
+
+
+def var_param_specs(cfg: VARConfig) -> dict:
+    """PartitionSpec pytree for VAR params (tensor parallel over "model").
+
+    Megatron-style: qkv/fc1 split output columns (heads / hidden), proj/fc2
+    split input rows, head splits the vocab. The AdaLN projections — ~1/3 of
+    VAR's parameters at d30 — split their 6C output; GSPMD all-gathers the
+    small (B, 6C) modulation vector. Embeddings/positions are replicated.
+    """
+    blocks = {
+        "qkv_w": P(None, None, MODEL),
+        "q_bias": P(None, MODEL),
+        "v_bias": P(None, MODEL),
+        "proj_w": P(None, MODEL, None),
+        "proj_b": P(None, None),
+        "fc1_w": P(None, None, MODEL),
+        "fc1_b": P(None, MODEL),
+        "fc2_w": P(None, MODEL, None),
+        "fc2_b": P(None, None),
+    }
+    if cfg.attn_l2_norm:
+        blocks["scale_mul"] = P(None, None)
+    if cfg.shared_aln:
+        blocks["ada_gss"] = P(None, None, None, None)
+    else:
+        blocks["ada_lin_w"] = P(None, None, MODEL)
+        blocks["ada_lin_b"] = P(None, MODEL)
+    specs = {
+        "word_embed": {"w": P(None, None), "b": P(None)},
+        "class_emb": P(None, None),
+        "pos_start": P(None, None),
+        "pos_1LC": P(None, None),
+        "lvl_embed": P(None, None),
+        "blocks": blocks,
+        "head_nm": {"w": P(None, None), "b": P(None)},
+        "head": {"w": P(None, MODEL), "b": P(MODEL)},
+    }
+    if cfg.shared_aln:
+        specs["shared_ada_lin"] = {"w": P(None, MODEL), "b": P(MODEL)}
+    return specs
+
+
+def kv_cache_specs() -> "P":
+    """KVCache (depth, B, L, H, hd): batch over data, heads over model."""
+    return P(None, DATA, None, MODEL, None)
+
+
+def replicated_specs(tree) -> dict:
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def batch_spec() -> P:
+    return P(DATA)
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """Place a pytree on the mesh according to a matching spec tree."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

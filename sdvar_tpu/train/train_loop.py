@@ -1,0 +1,214 @@
+"""Training entry point (capability parity with reference train.py).
+
+Builds data/models/optimizer, runs the epoch loop with eval-every-N and
+checkpointing, supports auto-resume and a ``--smoke`` mode mirroring the
+reference's local_debug fast path (train.py:140-162: two synthetic steps +
+state round-trip) runnable on CPU without data.
+
+Run:  python -m sdvar_tpu.train.train_loop --smoke
+      python -m sdvar_tpu.train.train_loop --data /path/to/imagenet --depth 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.models.var import count_params, init_var_params
+from sdvar_tpu.models.vqvae import init_vqvae_params
+from sdvar_tpu.train import checkpoint as ckpt
+from sdvar_tpu.train.data import (
+    DistInfiniteBatchSampler,
+    batch_arrays,
+    build_dataset,
+)
+from sdvar_tpu.train.schedule import lr_wd_annealing
+from sdvar_tpu.train.trainer import (
+    TrainState,
+    eval_step,
+    init_train_state,
+    train_step,
+)
+from sdvar_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardSink
+
+
+def build_everything(tc: TrainConfig, seed: int = 0):
+    patch_nums = tc.patch_nums
+    vae_cfg = VQVAEConfig(patch_nums=patch_nums)
+    var_cfg = VARConfig(
+        depth=tc.depth, patch_nums=patch_nums,
+        shared_aln=tc.shared_aln, attn_l2_norm=tc.attn_l2_norm,
+    )
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    vae_params = init_vqvae_params(vae_cfg, k1)
+    var_params = init_var_params(var_cfg, k2)
+    state = init_train_state(var_params, clip=tc.grad_clip)
+    return vae_cfg, var_cfg, vae_params, state
+
+
+def run_training(
+    tc: TrainConfig,
+    data_root: Optional[str] = None,
+    out_dir: str = "local_output",
+    seed: int = 0,
+    max_iters: Optional[int] = None,
+    batch_override: Optional[int] = None,
+    dtype=jnp.float32,
+):
+    vae_cfg, var_cfg, vae_params, state = build_everything(tc, seed)
+    print(f"[init] VAR params: {count_params(state.params)/1e6:.2f}M")
+
+    bs = batch_override or tc.global_batch_size
+    train_set = build_dataset(data_root, reso=tc.reso, train=True)
+    val_set = build_dataset(data_root, reso=tc.reso, train=False,
+                            synthetic_len=64)
+    sampler = DistInfiniteBatchSampler(
+        len(train_set), bs, world_size=1, rank=0, seed=seed,
+    )
+    iters_per_ep = sampler.iters_per_ep
+    max_it = tc.epochs * iters_per_ep
+    wp_it = tc.warmup_epochs() * iters_per_ep
+
+    os.makedirs(out_dir, exist_ok=True)
+    jlog = JsonlLogger(os.path.join(out_dir, "log.txt"))
+    tb = TensorboardSink(os.path.join(out_dir, "tb"))
+    mlog = MetricLogger()
+
+    # auto-resume (reference: utils/misc.py:344-357)
+    resumed, meta = ckpt.auto_resume(out_dir, state)
+    if resumed is not None:
+        state = TrainState(*resumed)
+        print(f"[resume] from step {meta['step']}")
+    g_it = int(meta.get("step", 0))
+    sampler.epoch = g_it // iters_per_ep
+    sampler.start_it = g_it % iters_per_ep
+
+    key = jax.random.PRNGKey(seed + 1)
+    it_stream = iter(sampler)
+    t0 = time.time()
+    while g_it < max_it:
+        if max_iters is not None and g_it >= max_iters:
+            break
+        idxs = next(it_stream)
+        img, label = batch_arrays(train_set, idxs)
+        lr, wd = lr_wd_annealing(
+            tc.lr_schedule, tc.peak_lr(), tc.weight_decay,
+            tc.weight_decay_end, g_it, wp_it, max_it, wpe=0.01,
+        )
+        state, metrics = train_step(
+            var_cfg, vae_cfg, state, vae_params,
+            jnp.asarray(img), jnp.asarray(label),
+            jnp.asarray(lr, jnp.float32), jnp.asarray(wd, jnp.float32),
+            jax.random.fold_in(key, g_it),
+            clip=tc.grad_clip, label_smooth=tc.label_smooth,
+            grad_accum=tc.grad_accum, dtype=dtype,
+        )
+        g_it += 1
+        if g_it % 10 == 0 or g_it == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            mlog.update(**{k: m[k] for k in ("Lm", "Lt", "Accm", "Acct")})
+            print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "
+                  f"Lm={m['Lm']:.4f} Accm={m['Accm']:.2f} "
+                  f"gnorm={m['grad_norm']:.3f} lr={m['lr']:.2e}")
+            tb.update("AR_iter_loss", g_it, force=True, **{
+                k: m[k] for k in ("Lm", "Lt", "Accm", "Acct", "grad_norm")
+            })
+        ep = g_it // iters_per_ep
+        if g_it % iters_per_ep == 0:
+            # eval + ckpt every `saln_every` epochs (train.py:208-231)
+            if ep % tc.saln_every == 0:
+                stats = {"L_mean": 0.0, "L_tail": 0.0, "acc_mean": 0.0,
+                         "acc_tail": 0.0, "tot": 0.0}
+                for i0 in range(0, min(len(val_set), 64), 16):
+                    img, label = batch_arrays(
+                        val_set, list(range(i0, min(i0 + 16, len(val_set))))
+                    )
+                    out = eval_step(var_cfg, vae_cfg, state.params, vae_params,
+                                    jnp.asarray(img), jnp.asarray(label),
+                                    dtype=dtype)
+                    for k in stats:
+                        stats[k] += float(out[k])
+                tot = max(stats.pop("tot"), 1.0)
+                stats = {k: v / tot for k, v in stats.items()}
+                print(f"[eval ep{ep}] {stats}")
+                jlog.write(epoch=ep, it=g_it, **stats)
+                ckpt.save_checkpoint(out_dir, g_it, state,
+                                     meta={"epoch": ep,
+                                           "config": tc.__dict__ | {}})
+    dt = time.time() - t0
+    print(f"[done] {g_it} iters in {dt:.1f}s")
+    tb.close()
+    return state
+
+
+def smoke_test() -> bool:
+    """Reference local_debug equivalent (train.py:140-162): two synthetic
+    steps on a tiny model + checkpoint round-trip."""
+    tc = TrainConfig(depth=2, reso=256, global_batch_size=4, epochs=1,
+                     label_smooth=0.0)
+    patch_nums = (1, 2, 3)
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32,
+                          patch_nums=patch_nums)
+    var_cfg = VARConfig(depth=2, patch_nums=patch_nums, vocab_size=64,
+                        Cvae=8, head_dim=32, num_classes=10)
+    key = jax.random.PRNGKey(0)
+    vae_params = init_vqvae_params(vae_cfg, key)
+    state = init_train_state(init_var_params(var_cfg, key))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (2, 3, 48, 48)).astype(np.float32)
+    label = np.array([1, 2], dtype=np.int32)
+    losses = []
+    for i in range(2):
+        state, metrics = train_step(
+            var_cfg, vae_cfg, state, vae_params,
+            jnp.asarray(img), jnp.asarray(label),
+            jnp.asarray(1e-4), jnp.asarray(0.05), jax.random.PRNGKey(i),
+            label_smooth=0.0, dtype=jnp.float32,
+        )
+        losses.append(float(metrics["loss"]))
+    # state round-trip (train.py:150-162)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save_checkpoint(d, int(state.step), state)
+        loaded, meta = ckpt.auto_resume(d, state)
+        assert loaded is not None and meta["step"] == int(state.step)
+        flat_a = jax.tree_util.tree_leaves(state)
+        flat_b = jax.tree_util.tree_leaves(TrainState(*loaded))
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print(f"[smoke] losses={losses} OK")
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--depth", type=int, default=16)
+    ap.add_argument("--bs", type=int, default=32)
+    ap.add_argument("--ep", type=int, default=1)
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--out", type=str, default="local_output")
+    args = ap.parse_args()
+    if args.smoke:
+        smoke_test()
+        return
+    tc = TrainConfig(depth=args.depth, global_batch_size=args.bs,
+                     epochs=args.ep)
+    run_training(tc, data_root=args.data, out_dir=args.out,
+                 max_iters=args.max_iters, batch_override=args.bs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Training orchestration: the VARTrainer equivalent.
+
+Capability parity with the reference trainer (reference: trainer.py:20-201) and
+AMP/optimizer wrapper (utils/amp_sc.py:15-88):
+  - per step: frozen VQVAE encodes images -> gt token ids (trainer.py:105),
+    teacher-forcing input via the quantizer (trainer.py:107), VAR forward,
+    token-weighted CE (uniform 1/L; progressive reweighting hook), grad clip,
+    AdamW(betas=(0.9, 0.95)) with decoupled weight decay and the reference's
+    no-decay param groups (train.py:110-120, utils/lr_control.py:68-108);
+  - eval: mean/tail CE + accuracy, psum-reduced across the mesh
+    (trainer.py:54-84).
+
+TPU-first: the whole step (tokenize -> forward -> backward -> update) is one
+jitted program; gradient accumulation is a ``lax.scan`` over micro-batches
+inside the step (mathematically the reference's ac-step accumulation,
+amp_sc.py:39-75, without host round-trips); bf16 compute needs no GradScaler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.models import quantizer as Q
+from sdvar_tpu.models import vqvae as VQ
+from sdvar_tpu.models.var import var_train_forward
+from sdvar_tpu.train.schedule import NOWD_KEYS
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def decay_mask(params: Dict) -> Dict:
+    """True where weight decay applies: ndim>1 tensors that are not biases
+    and not in the reference's no-decay key set
+    (utils/lr_control.py:85-88, train.py:110-116)."""
+
+    def leaf_rule(path, a) -> bool:
+        names = [getattr(p, "key", str(p)) for p in path]
+        name = "/".join(str(n) for n in names)
+        leaf = names[-1]
+        if a.ndim <= 1 or str(leaf) in ("b",) or "bias" in name or str(leaf).endswith("_b"):
+            return False
+        return not any(k in name for k in NOWD_KEYS)
+
+    return jax.tree_util.tree_map_with_path(leaf_rule, params)
+
+
+def make_optimizer(clip: float = 2.0) -> optax.GradientTransformation:
+    """clip -> adam(0.9, 0.95). lr and decoupled wd are applied manually in
+    the step so the schedule (train/schedule.py) stays a traced scalar."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+    )
+
+
+def init_train_state(var_params: Dict, clip: float = 2.0) -> TrainState:
+    tx = make_optimizer(clip)
+    return TrainState(
+        params=var_params,
+        opt_state=tx.init(var_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _ce_with_smoothing(logits: jnp.ndarray, labels: jnp.ndarray,
+                       smooth: float) -> jnp.ndarray:
+    """Per-token CE with label smoothing (torch semantics), (B, L)."""
+    V = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if smooth > 0:
+        uniform = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - smooth) * nll + smooth * uniform
+    return nll
+
+
+def loss_and_metrics(
+    var_cfg: VARConfig, params: Dict,
+    label_B: jnp.ndarray, x_in: jnp.ndarray, gt_BL: jnp.ndarray,
+    train_key: Optional[jax.Array], label_smooth: float,
+    loss_weight: Optional[jnp.ndarray] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Token-weighted CE (reference: trainer.py:112-120) + logging metrics."""
+    L = var_cfg.L
+    logits = var_train_forward(var_cfg, params, label_B, x_in,
+                               train_key=train_key, dtype=dtype)
+    ce = _ce_with_smoothing(logits, gt_BL, label_smooth)  # (B, L)
+    lw = loss_weight if loss_weight is not None else jnp.full((L,), 1.0 / L)
+    loss = jnp.mean(jnp.sum(ce * lw[None], axis=-1))
+
+    last_l = var_cfg.patch_nums[-1] ** 2
+    pred = jnp.argmax(logits, axis=-1)
+    ce_plain = _ce_with_smoothing(logits, gt_BL, 0.0)
+    metrics = {
+        "Lm": jnp.mean(ce_plain),
+        "Lt": jnp.mean(ce_plain[:, -last_l:]),
+        "Accm": jnp.mean((pred == gt_BL).astype(jnp.float32)) * 100.0,
+        "Acct": jnp.mean((pred[:, -last_l:] == gt_BL[:, -last_l:])
+                         .astype(jnp.float32)) * 100.0,
+    }
+    return loss, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
+                     "grad_accum", "dtype"),
+    donate_argnames=("state",),
+)
+def train_step(
+    var_cfg: VARConfig, vae_cfg: VQVAEConfig,
+    state: TrainState, vae_params: Dict,
+    img: jnp.ndarray, label_B: jnp.ndarray,
+    lr: jnp.ndarray, wd: jnp.ndarray, step_key: jax.Array,
+    clip: float = 2.0, label_smooth: float = 0.0,
+    grad_accum: int = 1, dtype=jnp.bfloat16,
+) -> Tuple[TrainState, Dict]:
+    """One full training step: tokenize -> forward/backward (optionally
+    scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW."""
+    tx = make_optimizer(clip)
+    mask = decay_mask(state.params)
+
+    def forward_on(params, img_mb, label_mb, key):
+        gt_idx = VQ.img_to_idxBl(vae_cfg, vae_params, img_mb)
+        gt_idx = [jax.lax.stop_gradient(i) for i in gt_idx]
+        gt_BL = jnp.concatenate(gt_idx, axis=1)
+        x_in = jax.lax.stop_gradient(
+            Q.idx_to_var_input(vae_cfg, vae_params["quant"], gt_idx)
+        )
+        return loss_and_metrics(
+            var_cfg, params, label_mb, x_in, gt_BL, key, label_smooth,
+            dtype=dtype,
+        )
+
+    grad_fn = jax.value_and_grad(
+        lambda p, im, lb, k: forward_on(p, im, lb, k), has_aux=True
+    )
+
+    if grad_accum <= 1:
+        (loss, metrics), grads = grad_fn(state.params, img, label_B, step_key)
+    else:
+        B = img.shape[0]
+        mb = B // grad_accum
+        img_s = img[: mb * grad_accum].reshape((grad_accum, mb) + img.shape[1:])
+        lab_s = label_B[: mb * grad_accum].reshape(grad_accum, mb)
+
+        def acc_body(carry, inp):
+            g_sum, l_sum, m_sum = carry
+            im, lb, i = inp
+            k = jax.random.fold_in(step_key, i)
+            (loss, metrics), grads = grad_fn(state.params, im, lb, k)
+            g_sum = jax.tree.map(jnp.add, g_sum, grads)
+            m_sum = jax.tree.map(jnp.add, m_sum, metrics)
+            return (g_sum, l_sum + loss, m_sum), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+        zero_m = {"Lm": 0.0, "Lt": 0.0, "Accm": 0.0, "Acct": 0.0}
+        (grads, loss, metrics), _ = jax.lax.scan(
+            acc_body, (zero_g, 0.0, zero_m),
+            (img_s, lab_s, jnp.arange(grad_accum)),
+        )
+        grads = jax.tree.map(lambda g: g / grad_accum, grads)
+        loss = loss / grad_accum
+        metrics = jax.tree.map(lambda m: m / grad_accum, metrics)
+
+    gnorm = optax.global_norm(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(
+        lambda u, p, m: -(lr) * (u + wd * p * m),
+        updates, state.params, mask,
+    )
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics, loss=loss, grad_norm=gnorm, lr=lr, wd=wd)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("var_cfg", "vae_cfg", "dtype"),
+)
+def eval_step(
+    var_cfg: VARConfig, vae_cfg: VQVAEConfig, params: Dict, vae_params: Dict,
+    img: jnp.ndarray, label_B: jnp.ndarray, dtype=jnp.bfloat16,
+) -> Dict:
+    """Eval metrics for one batch (reference eval_ep body,
+    trainer.py:61-76): mean/tail CE (no smoothing) and accuracies."""
+    gt_idx = VQ.img_to_idxBl(vae_cfg, vae_params, img)
+    gt_BL = jnp.concatenate(gt_idx, axis=1)
+    x_in = Q.idx_to_var_input(vae_cfg, vae_params["quant"], gt_idx)
+    logits = var_train_forward(var_cfg, params, label_B, x_in, dtype=dtype)
+    ce = _ce_with_smoothing(logits, gt_BL, 0.0)
+    last_l = var_cfg.patch_nums[-1] ** 2
+    pred = jnp.argmax(logits, axis=-1)
+    B = img.shape[0]
+    return {
+        "L_mean": jnp.mean(ce) * B,
+        "L_tail": jnp.mean(ce[:, -last_l:]) * B,
+        "acc_mean": jnp.mean((pred == gt_BL).astype(jnp.float32)) * 100 * B,
+        "acc_tail": jnp.mean((pred[:, -last_l:] == gt_BL[:, -last_l:])
+                             .astype(jnp.float32)) * 100 * B,
+        "tot": jnp.asarray(B, jnp.float32),
+    }

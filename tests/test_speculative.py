@@ -1,0 +1,135 @@
+"""Speculative-engine correctness tests.
+
+Key invariant: with greedy sampling and draft == target, every drafted scale
+must match the target's argmax exactly, all scales are accepted, and the
+speculative result equals the baseline decode bit-for-bit. This exercises the
+verify-window masks, prefix KV cache, positional embedding and CFG-t plumbing
+end-to-end — any positional or mask bug breaks equality.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.config import (
+    SamplingConfig,
+    SpeculativeConfig,
+    VARConfig,
+    VQVAEConfig,
+)
+from sdvar_tpu.engine.decode import decode_all_scales
+from sdvar_tpu.engine.speculative import SpeculativeEngine
+from sdvar_tpu.models.quantizer import init_quantizer_params
+from sdvar_tpu.models.var import init_var_params
+
+PNS = (1, 2, 3, 4)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    var_cfg = VARConfig(
+        depth=2, num_classes=10, patch_nums=PNS, vocab_size=64, Cvae=8,
+        attn_l2_norm=True, cond_drop_rate=0.0, drop_path_rate=0.0, head_dim=32,
+    )
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    var_params = init_var_params(var_cfg, k1)
+    # sharpen the head so argmax is well-separated
+    var_params["head"]["w"] = var_params["head"]["w"] * 30.0
+    quant_params = init_quantizer_params(vae_cfg, k2, eini=1.0)
+    draft_params = init_var_params(var_cfg, k3)
+    draft_params["head"]["w"] = draft_params["head"]["w"] * 30.0
+    vae_params = {"quant": quant_params}
+    return vae_cfg, var_cfg, var_params, draft_params, vae_params
+
+
+def _engine(stack, draft_params):
+    vae_cfg, var_cfg, var_params, _, vae_params = stack
+    return SpeculativeEngine(
+        vae_cfg, var_cfg, var_cfg, vae_params, draft_params, var_params,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 3])
+def test_selfdraft_greedy_accepts_everything(stack, gamma):
+    vae_cfg, var_cfg, var_params, _, vae_params = stack
+    eng = _engine(stack, var_params)  # draft == target
+    label = jnp.array([3, 7])
+    key = jax.random.PRNGKey(5)
+    samp = SamplingConfig(cfg=1.5, top_k=1)
+    f_hat, stats = eng.generate_speculative(
+        label, key, SpeculativeConfig(gamma=gamma), samp
+    )
+    assert stats.accept_count == var_cfg.num_scales
+    assert stats.reject_count == 0
+    assert stats.forced_accepts == 0
+    # gamma-scale verification: ceil(S / gamma) target calls
+    assert stats.target_calls == -(-var_cfg.num_scales // gamma)
+
+    baseline = decode_all_scales(
+        var_cfg, vae_cfg, var_params, vae_params["quant"], label,
+        jax.random.fold_in(key, 1), samp, jnp.float32,
+    )
+    # note: draft stream is fold_in(key, DRAFT_STREAM=1); greedy makes the
+    # key irrelevant, but the f_hat comparison must still be exact.
+    np.testing.assert_allclose(
+        np.asarray(f_hat), np.asarray(baseline), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_handoff_blockcausal_greedy_matches_baseline(stack):
+    """sd_mask=3 (block-causal prefill) with draft == target and greedy
+    sampling must reproduce the baseline decode exactly: the prefill computes
+    the same KV the scale-by-scale loop would."""
+    vae_cfg, var_cfg, var_params, _, vae_params = stack
+    eng = _engine(stack, var_params)
+    label = jnp.array([1])
+    key = jax.random.PRNGKey(9)
+    samp = SamplingConfig(cfg=1.5, top_k=1)
+    f_hat, stats = eng.generate_handoff(
+        label, key, entry_num=2, sd_mask=3, samp=samp
+    )
+    baseline = decode_all_scales(
+        var_cfg, vae_cfg, var_params, vae_params["quant"], label, key, samp,
+        jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_hat), np.asarray(baseline), rtol=1e-5, atol=1e-5
+    )
+    assert stats.target_calls == var_cfg.num_scales - 2
+
+
+def test_distinct_draft_makes_progress(stack):
+    """With an unrelated draft, rejection paths (dynamic gamma + force-accept
+    or resampling) must still terminate and fill all scales."""
+    vae_cfg, var_cfg, var_params, draft_params, vae_params = stack
+    eng = _engine(stack, draft_params)
+    label = jnp.array([2, 4])
+    key = jax.random.PRNGKey(13)
+    samp = SamplingConfig(cfg=1.5, top_k=1)
+    f_hat, stats = eng.generate_speculative(
+        label, key, SpeculativeConfig(gamma=2), samp
+    )
+    assert f_hat.shape == (2, vae_cfg.Cvae, PNS[-1], PNS[-1])
+    assert stats.accept_count == var_cfg.num_scales
+
+    f2, stats2 = eng.generate_speculative(
+        label, key, SpeculativeConfig(gamma=2), samp, resample_on_reject=True
+    )
+    assert stats2.accept_count + stats2.resampled_scales == var_cfg.num_scales
+
+
+def test_speculative_deterministic(stack):
+    vae_cfg, var_cfg, var_params, draft_params, vae_params = stack
+    eng = _engine(stack, draft_params)
+    label = jnp.array([6])
+    samp = SamplingConfig(cfg=2.0, top_k=8, top_p=0.9)
+    key = jax.random.PRNGKey(21)
+    a, sa = eng.generate_speculative(label, key, SpeculativeConfig(gamma=2), samp)
+    b, sb = eng.generate_speculative(label, key, SpeculativeConfig(gamma=2), samp)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert sa.as_dict() == sb.as_dict()
