@@ -26,7 +26,12 @@ from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
 from sdvar_tpu.models import quantizer as Q
 from sdvar_tpu.models import var as M
 from sdvar_tpu.models.var import KVCache
-from sdvar_tpu.ops.sampling import cfg_mix, gumbel_softmax, sample_with_top_k_top_p
+from sdvar_tpu.ops.sampling import (
+    cfg_mix,
+    fold_key,
+    gumbel_softmax,
+    sample_with_top_k_top_p,
+)
 
 
 class DecodeState(NamedTuple):
@@ -76,7 +81,7 @@ def scale_step(
     t = samp.cfg * ratio
     mixed = cfg_mix(logits, t)
 
-    skey = jax.random.fold_in(key, si)
+    skey = fold_key(key, si)
     ids = sample_with_top_k_top_p(mixed, skey, samp.top_k, samp.top_p)
 
     if samp.more_smooth:
@@ -98,11 +103,13 @@ def scale_step(
 
 def init_decode(
     var_cfg: VARConfig, params, label_B: jnp.ndarray, dtype=jnp.bfloat16,
-    cache_len: Optional[int] = None,
+    cache_len: Optional[int] = None, kv_mode: str = "bf16",
 ) -> Tuple[DecodeState, jnp.ndarray, jnp.ndarray]:
     """Build (empty state, sos (2B,C), lvl_pos (L,C)) for a batch of labels.
 
     The uncond row uses class id ``num_classes`` (reference: models/var.py:162).
+    ``kv_mode``: "bf16" | "f32" | "int8" (per-token-scaled INT8 KV cache,
+    BASELINE.json config #3).
     """
     B = label_B.shape[0]
     label_2B = jnp.concatenate(
@@ -111,17 +118,27 @@ def init_decode(
     lvl_pos = M.lvl_pos_embed(var_cfg, params).astype(jnp.float32)
     sos = params["class_emb"][label_2B].astype(jnp.float32)
     HW = var_cfg.patch_nums[-1]
+    if kv_mode == "int8":
+        from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+        cache = QuantizedKVCache.create(var_cfg, 2 * B, max_len=cache_len)
+    else:
+        cache = KVCache.create(
+            var_cfg, 2 * B, max_len=cache_len,
+            dtype=jnp.float32 if kv_mode == "f32" else jnp.bfloat16,
+        )
     state = DecodeState(
         f_hat=jnp.zeros((B, var_cfg.Cvae, HW, HW), jnp.float32),
         next_map=jnp.zeros((B, var_cfg.Cvae, 1, 1), jnp.float32),
-        cache=KVCache.create(var_cfg, 2 * B, max_len=cache_len, dtype=dtype),
+        cache=cache,
     )
     return state, sos, lvl_pos
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("var_cfg", "vae_cfg", "samp", "dtype", "return_ids"),
+    static_argnames=("var_cfg", "vae_cfg", "samp", "dtype", "return_ids",
+                     "kv_mode"),
 )
 def decode_all_scales(
     var_cfg: VARConfig, vae_cfg: VQVAEConfig, params, quant_params,
@@ -129,10 +146,12 @@ def decode_all_scales(
     samp: SamplingConfig = SamplingConfig(),
     dtype=jnp.bfloat16,
     return_ids: bool = False,
+    kv_mode: str = "bf16",
 ):
     """Full 10-scale generation in one compiled program -> f_hat
     (B, Cvae, HW, HW), optionally with the sampled ids (B, L)."""
-    state, sos, lvl_pos = init_decode(var_cfg, params, label_B, dtype)
+    state, sos, lvl_pos = init_decode(var_cfg, params, label_B, dtype,
+                                      kv_mode=kv_mode)
     ids_all = []
     for si in range(var_cfg.num_scales):
         state, ids = scale_step(

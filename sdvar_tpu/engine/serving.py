@@ -1,0 +1,189 @@
+"""Continuous batching of image-generation requests.
+
+BASELINE.json config #5 (serving side): the reference has no serving layer —
+its "harness" is a Colab notebook (sdvar_colab_test.py). This module provides
+the production surface: a scheduler that coalesces asynchronously arriving
+requests into fixed bucket-size batches and runs the one-jit decode per
+bucket (compile cache makes each bucket a one-time cost).
+
+Determinism: each request carries its own PRNG seed; sampling uses per-slot
+key arrays (ops/sampling.py fold_key), so a request's image is a pure
+function of (label, seed, sampling config) — independent of which batch the
+scheduler placed it in. Padding slots reuse label 0 with a dummy key and are
+dropped before delivery.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+
+
+@dataclass
+class Request:
+    label: int
+    seed: int
+    id: int = -1
+    submit_t: float = field(default_factory=time.time)
+
+
+@dataclass
+class Result:
+    id: int
+    image: np.ndarray        # (3, H, W) in [0, 1]
+    latency_s: float
+    batch_size: int
+
+
+class GenerationServer:
+    """Host-side continuous-batching scheduler over the jitted decode.
+
+    Usage:
+        srv = GenerationServer(var_cfg, vae_cfg, var_params, vae_params)
+        srv.start()
+        fut_id = srv.submit(label=207, seed=42)
+        result = srv.get(fut_id, timeout=60)
+        srv.stop()
+    """
+
+    def __init__(
+        self,
+        var_cfg: VARConfig, vae_cfg: VQVAEConfig,
+        var_params, vae_params,
+        samp: SamplingConfig = SamplingConfig(),
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        buckets: Optional[List[int]] = None,
+        dtype=jnp.bfloat16,
+        kv_mode: str = "bf16",
+    ):
+        self.var_cfg, self.vae_cfg = var_cfg, vae_cfg
+        self.var_params, self.vae_params = var_params, vae_params
+        self.samp = samp
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.buckets = sorted(buckets or [1, 2, 4, 8])
+        self.dtype = dtype
+        self.kv_mode = kv_mode
+
+        self._q: "queue.Queue[Request]" = queue.Queue()
+        self._results: Dict[int, Result] = {}
+        self._results_cv = threading.Condition()
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {
+            "completed": 0, "batches": 0, "occupancy_sum": 0.0,
+        }
+
+    # -- public API ---------------------------------------------------------
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, label: int, seed: int) -> int:
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        self._q.put(Request(label=label, seed=seed, id=rid))
+        return rid
+
+    def get(self, rid: int, timeout: float = 120.0) -> Result:
+        deadline = time.time() + timeout
+        with self._results_cv:
+            while rid not in self._results:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise TimeoutError(f"request {rid}")
+                self._results_cv.wait(remaining)
+            return self._results.pop(rid)
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _collect(self) -> List[Request]:
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.time() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run_batch(self, batch: List[Request]):
+        from sdvar_tpu.engine.decode import decode_all_scales
+        from sdvar_tpu.models import vqvae as VQ
+
+        n = len(batch)
+        bsz = self._bucket_for(n)
+        labels = np.zeros((bsz,), np.int32)
+        seeds = np.zeros((bsz,), np.uint32)
+        for i, r in enumerate(batch):
+            labels[i] = r.label
+            seeds[i] = np.uint32(r.seed)
+        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+
+        f_hat = decode_all_scales(
+            self.var_cfg, self.vae_cfg, self.var_params,
+            self.vae_params["quant"], jnp.asarray(labels), keys,
+            self.samp, self.dtype, kv_mode=self.kv_mode,
+        )
+        imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
+        imgs = np.asarray((imgs + 1.0) * 0.5)
+
+        now = time.time()
+        with self._results_cv:
+            for i, r in enumerate(batch):
+                self._results[r.id] = Result(
+                    id=r.id, image=imgs[i], latency_s=now - r.submit_t,
+                    batch_size=bsz,
+                )
+            self._results_cv.notify_all()
+        self.stats["completed"] += n
+        self.stats["batches"] += 1
+        self.stats["occupancy_sum"] += n / bsz
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # deliver the error to waiters
+                with self._results_cv:
+                    for r in batch:
+                        self._results[r.id] = Result(
+                            id=r.id, image=None, latency_s=-1.0, batch_size=0,
+                        )
+                    self._results_cv.notify_all()
+                print(f"[serving] batch failed: {type(e).__name__}: {e}")

@@ -131,9 +131,7 @@ def _target_verify_window(
 
     bg0 = var_cfg.begin_ends[start][0]
     kv_len = var_cfg.begin_ends[start + gamma - 1][1]
-    bias = jnp.asarray(
-        verify_window_bias(pns, start, gamma, kv_len)
-    )[None, None]
+    bias = jnp.asarray(verify_window_bias(pns, start, gamma, kv_len))
 
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=bias,
@@ -193,7 +191,7 @@ def _target_prefill_handoff(
 
     P = var_cfg.begin_ends[entry_num][1]
     np_bias = prefill_bias(pns, entry_num, sd_mask)
-    bias = None if np_bias is None else jnp.asarray(np_bias)[None, None]
+    bias = None if np_bias is None else jnp.asarray(np_bias)
 
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=bias,

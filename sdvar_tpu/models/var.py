@@ -35,9 +35,12 @@ HI = jax.lax.Precision.HIGHEST
 class KVCache(NamedTuple):
     """Static-shape per-layer KV cache.
 
-    k, v: (depth, B, L_max, H, hd). The decode engine tracks the valid length
-    statically (scale schedule is static), so "rollback" after a rejected
-    speculative window is just not advancing the write offset.
+    k, v: (depth, B, L_max, H*hd) — heads merged into the trailing dim so the
+    last axis is a multiple of the 128-lane tile (a trailing head_dim of 64
+    would double HBM footprint via lane padding). The decode engine tracks
+    the valid length statically (scale schedule is static), so "rollback"
+    after a rejected speculative window is just not advancing the write
+    offset.
     """
 
     k: jnp.ndarray
@@ -47,7 +50,7 @@ class KVCache(NamedTuple):
     def create(cfg: VARConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16) -> "KVCache":
         L = max_len or cfg.L
-        shape = (cfg.depth, batch, L, cfg.num_heads, cfg.head_dim)
+        shape = (cfg.depth, batch, L, cfg.num_heads * cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -163,9 +166,11 @@ def _block_modulations(cfg: VARConfig, layer: Dict, cond_pre: jnp.ndarray):
     if cfg.shared_aln:
         six = (cond_pre + layer["ada_gss"][None]).astype(jnp.float32)
     else:
+        from sdvar_tpu.ops.quantization import resolve_weight
+
         six = jnp.einsum(
             "bd,dk->bk", cond_pre.astype(jnp.float32),
-            layer["ada_lin_w"].astype(jnp.float32),
+            resolve_weight(layer["ada_lin_w"], jnp.float32),
             preferred_element_type=jnp.float32,
         ) + layer["ada_lin_b"]
         six = six.reshape(-1, 1, 6, C)
@@ -177,14 +182,17 @@ def _attention(
     attn_bias: Optional[jnp.ndarray],
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_begin: int, kv_len: int,
+    layer_idx=None,
 ):
     """Self-attention for one block.
 
     Without cache: keys/values are the current tokens (training / prefill
-    without reuse). With cache: new KV are written at [cache_begin, ...) and
-    attention reads keys [0, kv_len) — both offsets STATIC.
+    without reuse). With cache: cache_kv is the FULL (depth, B, L_max, C)
+    pair; this layer's new KV are written in place at
+    [layer_idx, :, cache_begin:...) and attention reads keys [0, kv_len)
+    — offsets static, layer index traced (scan carry).
 
-    Returns (out, (new_k_slab, new_v_slab) or None).
+    Returns (out, updated (ck, cv) or None).
     reference: models/basic_var.py:58-125.
     """
     B, L, C = x.shape
@@ -192,8 +200,10 @@ def _attention(
     qkv_bias = jnp.concatenate(
         [layer["q_bias"], jnp.zeros_like(layer["q_bias"]), layer["v_bias"]]
     ).astype(x.dtype)
+    from sdvar_tpu.ops.quantization import resolve_weight
+
     qkv = (
-        jnp.einsum("blc,ck->blk", x, layer["qkv_w"].astype(x.dtype),
+        jnp.einsum("blc,ck->blk", x, resolve_weight(layer["qkv_w"], x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
         + qkv_bias
     )
@@ -209,40 +219,63 @@ def _attention(
     else:
         scale = 0.25 / math.sqrt(hd)
 
-    new_slabs = None
-    if cache_kv is not None:
-        ck, cv = cache_kv  # (B, L_max, H, hd)
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_begin, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_begin, axis=1)
-        new_slabs = (ck, cv)
-        k = ck[:, :kv_len].astype(x.dtype)
-        v = cv[:, :kv_len].astype(x.dtype)
+    new_cache = None
+    if cache_kv is not None and len(cache_kv) == 4:
+        # INT8 KV cache with per-token scales (ops/quantization.py)
+        from sdvar_tpu.ops.quantization import dequantize_tokens, quantize_tokens
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if attn_bias is not None:
-        logits = logits + attn_bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(B, L, C)
+        ck, cv, cks, cvs = cache_kv
+        kq, kts = quantize_tokens(k.reshape(B, L, C))
+        vq, vts = quantize_tokens(v.reshape(B, L, C))
+        ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, 0, cache_begin, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, 0, cache_begin, 0))
+        cks = jax.lax.dynamic_update_slice(cks, kts[None], (layer_idx, 0, cache_begin))
+        cvs = jax.lax.dynamic_update_slice(cvs, vts[None], (layer_idx, 0, cache_begin))
+        new_cache = (ck, cv, cks, cvs)
+        ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, B, kv_len, C))[0]
+        vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, B, kv_len, C))[0]
+        kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, B, kv_len))[0]
+        vss = jax.lax.dynamic_slice(cvs, (layer_idx, 0, 0), (1, B, kv_len))[0]
+        k = dequantize_tokens(ks, kss, x.dtype).reshape(B, kv_len, H, hd)
+        v = dequantize_tokens(vs, vss, x.dtype).reshape(B, kv_len, H, hd)
+    elif cache_kv is not None:
+        ck, cv = cache_kv  # (depth, B, L_max, C) merged-head layout
+        km = k.reshape(B, L, C).astype(ck.dtype)[None]
+        vm = v.reshape(B, L, C).astype(cv.dtype)[None]
+        ck = jax.lax.dynamic_update_slice(ck, km, (layer_idx, 0, cache_begin, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vm, (layer_idx, 0, cache_begin, 0))
+        new_cache = (ck, cv)
+        ks = jax.lax.dynamic_slice(
+            ck, (layer_idx, 0, 0, 0), (1, B, kv_len, C)
+        )[0]
+        vs = jax.lax.dynamic_slice(
+            cv, (layer_idx, 0, 0, 0), (1, B, kv_len, C)
+        )[0]
+        k = ks.reshape(B, kv_len, H, hd).astype(x.dtype)
+        v = vs.reshape(B, kv_len, H, hd).astype(x.dtype)
+
+    from sdvar_tpu.ops.attention import attention as _attn_dispatch
+
+    out = _attn_dispatch(q, k, v, attn_bias, scale).reshape(B, L, C)
     out = (
-        jnp.einsum("blc,ck->blk", out, layer["proj_w"].astype(x.dtype),
+        jnp.einsum("blc,ck->blk", out, resolve_weight(layer["proj_w"], x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
         + layer["proj_b"].astype(x.dtype)
     )
-    return out, new_slabs
+    return out, new_cache
 
 
 def _ffn(cfg: VARConfig, layer: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    from sdvar_tpu.ops.quantization import resolve_weight
+
     h = (
-        jnp.einsum("blc,ck->blk", x, layer["fc1_w"].astype(x.dtype),
+        jnp.einsum("blc,ck->blk", x, resolve_weight(layer["fc1_w"], x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
         + layer["fc1_b"].astype(x.dtype)
     )
     h = jax.nn.gelu(h, approximate=True)  # GELU(tanh), basic_var.py:40
     h = (
-        jnp.einsum("blk,kc->blc", h, layer["fc2_w"].astype(x.dtype),
+        jnp.einsum("blk,kc->blc", h, resolve_weight(layer["fc2_w"], x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
         + layer["fc2_b"].astype(x.dtype)
     )
@@ -259,7 +292,7 @@ def apply_transformer(
     """Run the block stack via lax.scan over stacked layer params.
 
     x: (B, L, C) in compute dtype; cond_BD: (B, D) raw class embedding.
-    attn_bias: optional (1|B, 1, Lq, Lk) additive bias.
+    attn_bias: optional (Lq, Lk) additive bias, shared across batch/heads.
     cache: optional KVCache; new tokens written at cache_begin, attention
     over keys [0, kv_len).
     drop_path_key: enables stochastic depth (training) with per-layer rates
@@ -269,19 +302,24 @@ def apply_transformer(
     depth = cfg.depth
     dpr = jnp.linspace(0.0, cfg.dpr, depth) if drop_path_key is not None else None
 
+    quantized_cache = cache is not None and hasattr(cache, "k_s")
+
     def body(carry, inp):
-        h = carry
+        layer, li = inp
         if cache is not None:
-            layer, ck, cv, li = inp
+            h, *cache_arrs = carry
+            cache_tuple = tuple(cache_arrs)
         else:
-            layer, li = inp
+            h = carry
+            cache_tuple = None
         g1, g2, s1, s2, sh1, sh2 = _block_modulations(cfg, layer, cond_pre)
         g1, g2, s1, s2, sh1, sh2 = [t.astype(h.dtype) for t in (g1, g2, s1, s2, sh1, sh2)]
 
         a_in = _ln(h, cfg.norm_eps) * (1.0 + s1) + sh1
-        a_out, new_slabs = _attention(
+        a_out, new_cache = _attention(
             cfg, layer, a_in, attn_bias,
-            (ck, cv) if cache is not None else None, cache_begin, kv_len,
+            cache_tuple, cache_begin, kv_len,
+            layer_idx=li,
         )
         a_out = a_out * g1
         if dpr is not None:
@@ -301,14 +339,21 @@ def apply_transformer(
         h = h + f_out
 
         if cache is not None:
-            return h, new_slabs
+            return (h,) + tuple(new_cache), None
         return h, None
 
     li = jnp.arange(depth)
     if cache is not None:
-        xs = (params["blocks"], cache.k, cache.v, li)
-        x, slabs = jax.lax.scan(body, x, xs)
-        return x, KVCache(k=slabs[0], v=slabs[1])
+        # cache rides the CARRY (same buffer updated in place layer by
+        # layer), not the scan ys — ys would allocate a second full cache.
+        init = (x,) + tuple(cache)
+        out_carry, _ = jax.lax.scan(body, init, (params["blocks"], li))
+        x = out_carry[0]
+        if quantized_cache:
+            from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+            return x, QuantizedKVCache(*out_carry[1:])
+        return x, KVCache(*out_carry[1:])
     x, _ = jax.lax.scan(body, x, (params["blocks"], li))
     return x, None
 
@@ -325,9 +370,11 @@ def get_logits(cfg: VARConfig, params: Params, h: jnp.ndarray,
     ) + hn["b"]
     ss = ss.reshape(-1, 1, 2, C)
     scale, shift = ss[:, :, 0, :], ss[:, :, 1, :]
+    from sdvar_tpu.ops.quantization import resolve_weight
+
     h32 = _ln(h.astype(jnp.float32), cfg.norm_eps) * (scale + 1.0) + shift
     return jnp.einsum(
-        "blc,cv->blv", h32, params["head"]["w"].astype(jnp.float32),
+        "blc,cv->blv", h32, resolve_weight(params["head"]["w"], jnp.float32),
         preferred_element_type=jnp.float32,
     ) + params["head"]["b"]
 
@@ -396,7 +443,7 @@ def var_train_forward(
     x = (x + lvl_pos_embed(cfg, params)[None]).astype(dtype)
 
     if attn_bias is None:
-        attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))[None, None]
+        attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))
     dp_key = None
     if train_key is not None and cfg.dpr > 0:
         dp_key = jax.random.fold_in(train_key, 0xD80)

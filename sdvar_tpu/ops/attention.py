@@ -1,0 +1,57 @@
+"""Attention backend dispatch (the analogue of the reference's
+flash/xformers/SDPA auto-selection, models/basic_var.py:14-30,97-117).
+
+Backends:
+  "xla"    — einsum + softmax; XLA fuses what it can. Always correct.
+  "pallas" — fused VMEM-resident kernel (ops/pallas/attention.py); avoids
+             materializing the (B, H, Lq, Lk) score tensor in HBM.
+  "auto"   — pallas on TPU backends, xla elsewhere.
+
+The choice is read at TRACE time: call set_attention_impl() before building
+jitted functions (changing it later requires retracing, like swapping
+attention libraries in the reference requires re-import).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = "auto"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    if _IMPL != "auto":
+        return _IMPL
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+def attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    bias: Optional[jnp.ndarray], scale: float,
+) -> jnp.ndarray:
+    """q: (B, Lq, H, d); k/v: (B, Lk, H, d); bias: (Lq, Lk) or None.
+    Returns (B, Lq, H, d)."""
+    impl = get_attention_impl()
+    if impl == "pallas":
+        from sdvar_tpu.ops.pallas.attention import pallas_attention
+
+        return pallas_attention(q, k, v, bias, scale)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None, None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

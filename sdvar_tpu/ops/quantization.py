@@ -1,0 +1,123 @@
+"""Weight-only INT8 quantization and INT8 KV cache.
+
+BASELINE.json config #3: "VAR-d30 weight-only INT8/FP8 + INT8 KV-cache,
+quality parity vs fp16 reference". The reference has no quantization — this
+is a TPU-native addition per the north star (SURVEY.md §6).
+
+Scheme:
+  - weights: symmetric per-output-channel INT8; w ≈ q * s with
+    q int8 (in, out), s f32 (out,). Matmuls run int8->bf16 dequant fused by
+    XLA into the MXU feed (a Pallas fused-dequant kernel can slot in later;
+    the numerics and API stay identical).
+  - KV cache: symmetric per-token INT8 (amax over the model dim of each
+    written token); dequantized on read. Rollback-by-offset still works —
+    scales live beside the cache at the same offsets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.config import VARConfig
+
+
+class QuantizedLinear(NamedTuple):
+    q: jnp.ndarray       # int8, (in, out) (or stacked (depth, in, out))
+    scale: jnp.ndarray   # f32, (out,)  (or (depth, out))
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedLinear:
+    """Symmetric per-output-channel int8: amax over the INPUT axis."""
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = (amax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -127, 127).astype(
+        jnp.int8
+    )
+    return QuantizedLinear(q=q, scale=jnp.squeeze(scale, axis=axis))
+
+
+def dequantize_weight(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if qw.q.ndim == 3:
+        return (qw.q.astype(jnp.float32) * qw.scale[:, None, :]).astype(dtype)
+    return (qw.q.astype(jnp.float32) * qw.scale[None, :]).astype(dtype)
+
+
+WEIGHT_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w", "ada_lin_w")
+
+
+def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
+                        quantize_head: bool = True) -> Dict:
+    """Return a param tree where the transformer's big matmul weights are
+    QuantizedLinear pairs. Embeddings/norm-side params stay fp.
+
+    The same pytree runs through the same forward code — models/var.py
+    resolves QuantizedLinear leaves via ``resolve_weight``.
+    """
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for k in keys:
+        if k in blocks:
+            blocks[k] = quantize_weight(blocks[k], axis=-2)
+    out["blocks"] = blocks
+    if quantize_head:
+        out["head"] = {
+            "w": quantize_weight(params["head"]["w"], axis=-2),
+            "b": params["head"]["b"],
+        }
+    return out
+
+
+def resolve_weight(w, dtype) -> jnp.ndarray:
+    """QuantizedLinear -> dequantized matrix; plain arrays pass through."""
+    if isinstance(w, QuantizedLinear):
+        return dequantize_weight(w, dtype)
+    if isinstance(w, (tuple,)) and len(w) == 2 and hasattr(w[0], "dtype") \
+            and w[0].dtype == jnp.int8:
+        return dequantize_weight(QuantizedLinear(*w), dtype)
+    return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV cache
+# ---------------------------------------------------------------------------
+
+class QuantizedKVCache(NamedTuple):
+    """INT8 KV cache with per-token scales.
+
+    k, v:  int8 (depth, B, L, C)   [merged-head layout, lane-aligned]
+    k_s, v_s: f32 (depth, B, L)    per-token scales
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_s: jnp.ndarray
+    v_s: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: VARConfig, batch: int, max_len: Optional[int] = None
+               ) -> "QuantizedKVCache":
+        L = max_len or cfg.L
+        C = cfg.num_heads * cfg.head_dim
+        return QuantizedKVCache(
+            k=jnp.zeros((cfg.depth, batch, L, C), jnp.int8),
+            v=jnp.zeros((cfg.depth, batch, L, C), jnp.int8),
+            k_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
+            v_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
+        )
+
+
+def quantize_tokens(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, L, C) -> int8 values + (B, L) per-token scales."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_tokens(q: jnp.ndarray, scale: jnp.ndarray,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)

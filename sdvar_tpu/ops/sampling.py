@@ -52,13 +52,35 @@ def mask_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(remove, NEG_INF, logits)
 
 
+def fold_key(key: jax.Array, data: int) -> jax.Array:
+    """fold_in that transparently handles batched key arrays (one key per
+    batch row — serving determinism: a request's samples are independent of
+    which batch it was scheduled into)."""
+    if key.ndim > 0 and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.vmap(lambda k: jax.random.fold_in(k, data))(key)
+    return jax.random.fold_in(key, data)
+
+
+def _gumbel_like(key: jax.Array, shape, batch_axis_size: int) -> jnp.ndarray:
+    if key.ndim > 0 and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        assert key.shape[0] == batch_axis_size, (key.shape, batch_axis_size)
+        return jax.vmap(
+            lambda k: jax.random.gumbel(k, shape[1:], dtype=jnp.float32)
+        )(key)
+    return jax.random.gumbel(key, shape, dtype=jnp.float32)
+
+
 def sample_with_top_k_top_p(
     logits_BlV: jnp.ndarray, key: jax.Array,
     top_k: int = 0, top_p: float = 0.0,
 ) -> jnp.ndarray:
-    """Sample token ids (B, l) from filtered logits via Gumbel-max."""
+    """Sample token ids (B, l) from filtered logits via Gumbel-max.
+
+    ``key`` may be a single PRNG key (shared across the batch, reference
+    semantics) or a (B,)-shaped key array for per-request streams.
+    """
     masked = mask_top_p(mask_top_k(logits_BlV.astype(jnp.float32), top_k), top_p)
-    g = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+    g = _gumbel_like(key, masked.shape, masked.shape[0])
     return jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
 
 

@@ -1,0 +1,76 @@
+"""Pallas attention kernel parity vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.ops.pallas.attention import pallas_attention
+
+from sdvar_tpu.ops.masks import block_causal_bias, verify_window_bias
+
+
+def _xla_attention(q, k, v, bias, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None, None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("Lq,Lk", [(1, 1), (4, 5), (14, 14), (13, 30)])
+def test_nobias_parity(Lq, Lk):
+    B, H, d = 2, 3, 64
+    q, k, v = (_rand((B, L, H, d), i) for i, L in enumerate((Lq, Lk, Lk)))
+    ref = _xla_attention(q, k, v, None, 0.125)
+    got = pallas_attention(q, k, v, None, 0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_block_causal_bias_parity():
+    pns = (1, 2, 3)
+    L = 14
+    B, H, d = 2, 2, 64
+    bias = jnp.asarray(block_causal_bias(pns))
+    q, k, v = (_rand((B, L, H, d), 10 + i) for i in range(3))
+    ref = _xla_attention(q, k, v, bias, 0.2)
+    got = pallas_attention(q, k, v, bias, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_verify_window_bias_parity():
+    pns = (1, 2, 3, 4)
+    bias = jnp.asarray(verify_window_bias(pns, 1, 2, 14))
+    B, H, d = 1, 2, 64
+    q = _rand((B, 13, H, d), 20)
+    k, v = (_rand((B, 14, H, d), 21 + i) for i in range(2))
+    ref = _xla_attention(q, k, v, bias, 1.0)
+    got = pallas_attention(q, k, v, bias, 1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_inputs():
+    B, H, d, Lq, Lk = 2, 2, 64, 9, 30
+    q, k, v = (
+        _rand((B, L, H, d), 30 + i).astype(jnp.bfloat16)
+        for i, L in enumerate((Lq, Lk, Lk))
+    )
+    ref = _xla_attention(q, k, v, None, 0.125)
+    got = pallas_attention(q, k, v, None, 0.125, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(got, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

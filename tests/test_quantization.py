@@ -1,0 +1,99 @@
+"""INT8 weight-only + INT8 KV cache tests (BASELINE.json config #3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.engine.decode import decode_all_scales
+from sdvar_tpu.models.quantizer import init_quantizer_params
+from sdvar_tpu.models.var import init_var_params, var_train_forward
+from sdvar_tpu.ops.quantization import (
+    QuantizedLinear,
+    dequantize_tokens,
+    dequantize_weight,
+    quantize_tokens,
+    quantize_var_params,
+    quantize_weight,
+)
+
+PNS = (1, 2, 3, 4)
+
+
+def test_weight_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qw = quantize_weight(w)
+    deq = dequantize_weight(qw, jnp.float32)
+    err = np.abs(np.asarray(w - deq))
+    bound = np.asarray(qw.scale)[None, :] * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_token_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32) * 3)
+    q, s = quantize_tokens(x)
+    deq = dequantize_tokens(q, s, jnp.float32)
+    rel = np.abs(np.asarray(deq - x)) / (np.abs(np.asarray(x)).max())
+    assert rel.max() < 0.01
+
+
+@pytest.fixture(scope="module")
+def stack():
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    var_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                        vocab_size=64, Cvae=8, attn_l2_norm=True,
+                        cond_drop_rate=0.0, drop_path_rate=0.0, head_dim=32)
+    key = jax.random.PRNGKey(3)
+    params = init_var_params(var_cfg, key)
+    params["head"]["w"] = params["head"]["w"] * 30.0
+    quant = init_quantizer_params(vae_cfg, key, eini=1.0)
+    return vae_cfg, var_cfg, params, quant
+
+
+def test_quantized_forward_close(stack):
+    vae_cfg, var_cfg, params, _ = stack
+    qparams = quantize_var_params(params)
+    assert isinstance(qparams["blocks"]["qkv_w"], QuantizedLinear)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, var_cfg.L - 1, var_cfg.Cvae)).astype(np.float32)
+    label = jnp.array([1, 2])
+    fp = np.asarray(var_train_forward(var_cfg, params, label, x))
+    q8 = np.asarray(var_train_forward(var_cfg, qparams, label, x))
+    # int8 weight error is small relative to logit scale
+    denom = np.abs(fp).max()
+    assert np.abs(fp - q8).max() / denom < 0.05
+    # top-1 predictions overwhelmingly agree
+    agree = (fp.argmax(-1) == q8.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_int8_kv_decode_matches_bf16_greedy(stack):
+    vae_cfg, var_cfg, params, quant = stack
+    label = jnp.array([4, 7])
+    samp = SamplingConfig(cfg=1.5, top_k=1)
+    key = jax.random.PRNGKey(11)
+    fp_fhat, fp_ids = decode_all_scales(
+        var_cfg, vae_cfg, params, quant, label, key, samp, jnp.float32,
+        return_ids=True,
+    )
+    q_fhat, q_ids = decode_all_scales(
+        var_cfg, vae_cfg, params, quant, label, key, samp, jnp.float32,
+        return_ids=True, kv_mode="int8",
+    )
+    agree = (np.asarray(fp_ids) == np.asarray(q_ids)).mean()
+    assert agree > 0.9, agree
+
+
+def test_quantized_weights_plus_int8_kv_runs(stack):
+    vae_cfg, var_cfg, params, quant = stack
+    qparams = quantize_var_params(params)
+    f_hat = decode_all_scales(
+        var_cfg, vae_cfg, qparams, quant, jnp.array([0]),
+        jax.random.PRNGKey(0), SamplingConfig(cfg=1.5, top_k=4), jnp.float32,
+        kv_mode="int8",
+    )
+    assert np.isfinite(np.asarray(f_hat)).all()
