@@ -71,6 +71,28 @@ def run_training(
     train_set = build_dataset(data_root, reso=tc.reso, train=True)
     val_set = build_dataset(data_root, reso=tc.reso, train=False,
                             synthetic_len=64)
+
+    # native C++ decode/augment pipeline when training off a real folder
+    # (csrc/dataloader.cpp); synthetic data stays on the Python path
+    native = None
+    if hasattr(train_set, "samples"):
+        try:
+            from sdvar_tpu.train.native_loader import (
+                NativeImageLoader,
+                native_available,
+            )
+
+            if native_available():
+                paths = [p for p, _ in train_set.samples]
+                labels = [l for _, l in train_set.samples]
+                native = NativeImageLoader(
+                    paths, labels, reso=tc.reso, train=True, seed=seed,
+                    num_threads=min(8, os.cpu_count() or 4),
+                )
+                print(f"[data] native C++ loader over {len(paths)} files")
+        except Exception as e:
+            print(f"[data] native loader unavailable ({e}); using Python path")
+
     sampler = DistInfiniteBatchSampler(
         len(train_set), bs, world_size=1, rank=0, seed=seed,
     )
@@ -99,7 +121,11 @@ def run_training(
         if max_iters is not None and g_it >= max_iters:
             break
         idxs = next(it_stream)
-        img, label = batch_arrays(train_set, idxs)
+        if native is not None:
+            native.enqueue(idxs)
+            img, label, _ = native.next_batch(len(idxs))
+        else:
+            img, label = batch_arrays(train_set, idxs)
         lr, wd = lr_wd_annealing(
             tc.lr_schedule, tc.peak_lr(), tc.weight_decay,
             tc.weight_decay_end, g_it, wp_it, max_it, wpe=0.01,

@@ -59,10 +59,23 @@ def create_npz_from_arrays(batches: Iterable[np.ndarray], out_path: str,
 
 
 def save_sample_pngs(imgs_BCHW: np.ndarray, out_dir: str, start_idx: int = 0):
+    u8 = images01_to_uint8(imgs_BCHW)
+    # threaded native writer when available (csrc/dataloader.cpp); the 50k
+    # FID dump is IO-bound through PIL
+    try:
+        from sdvar_tpu.train.native_loader import (
+            native_available,
+            write_pngs_native,
+        )
+
+        if native_available():
+            write_pngs_native(out_dir, u8, start_idx=start_idx)
+            return
+    except Exception:
+        pass
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
-    u8 = images01_to_uint8(imgs_BCHW)
     for i, im in enumerate(u8):
         Image.fromarray(im).save(
             os.path.join(out_dir, f"{start_idx + i:06d}.png")
