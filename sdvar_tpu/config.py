@@ -231,6 +231,10 @@ class TrainConfig:
     seed: Optional[int] = None
     bf16: bool = True
     saln_every: int = 10          # save/eval cadence in epochs (train.py:208-231)
+    # progressive training (reference: arg_util.py:79-81, train.py:286-301)
+    pg: float = 0.0               # >0: progressive over [0, pg] of training
+    pg0: int = 4                  # initial progressive stage
+    pgwp: Optional[float] = None  # per-stage warmup epochs; None -> ep/300
 
     @property
     def patch_nums(self) -> Tuple[int, ...]:
@@ -242,6 +246,22 @@ class TrainConfig:
 
     def warmup_epochs(self) -> float:
         return self.warmup_ep if self.warmup_ep is not None else self.epochs / 50
+
+    def pgwp_epochs(self) -> float:
+        return self.pgwp if self.pgwp is not None else self.epochs / 300
+
+    def prog_si_at(self, g_it: int, wp_it: float, max_it: int,
+                   num_scales: int) -> int:
+        """Progressive stage schedule (reference: train.py:286-294)."""
+        if self.pg <= 0:
+            return -1
+        if g_it <= wp_it:
+            return self.pg0
+        if g_it >= max_it * self.pg:
+            return num_scales - 1
+        delta = num_scales - 1 - self.pg0
+        progress = min(max((g_it - wp_it) / (max_it * self.pg - wp_it), 0), 1)
+        return self.pg0 + round(progress * delta)
 
 
 def var_config_pair(

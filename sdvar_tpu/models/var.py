@@ -420,17 +420,22 @@ def var_train_forward(
     train_key: Optional[jax.Array] = None,
     attn_bias: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    prog_si: int = -1,
 ) -> jnp.ndarray:
-    """Teacher-forcing forward -> logits (B, L, V)
+    """Teacher-forcing forward -> logits (B, L', V)
     (reference: models/var.py:217-259).
 
     When ``train_key`` is given, applies conditional-embedding dropout
     (cond_drop_rate) and stochastic depth; otherwise runs deterministically.
     ``attn_bias`` defaults to the block-causal training mask.
+    ``prog_si`` >= 0 enables progressive training: the sequence (and mask)
+    truncate at begin_ends[prog_si][1] (reference: models/var.py:223,232-234);
+    prog_si is static, so each stage compiles once.
     """
     from sdvar_tpu.ops.masks import block_causal_bias
 
     B = x_BLCv_wo_first_l.shape[0]
+    ed = cfg.L if prog_si < 0 else cfg.begin_ends[prog_si][1]
     if train_key is not None and cfg.cond_drop_rate > 0:
         ck = jax.random.fold_in(train_key, 0xC0DE)
         drop = jax.random.uniform(ck, (B,)) < cfg.cond_drop_rate
@@ -438,12 +443,17 @@ def var_train_forward(
 
     sos = params["class_emb"][label_B]  # (B, C)
     first = sos[:, None, :] + params["pos_start"][None]  # (B, first_l, C)
-    we = word_embed(params, x_BLCv_wo_first_l, jnp.float32)
-    x = jnp.concatenate([first, we], axis=1)
-    x = (x + lvl_pos_embed(cfg, params)[None]).astype(dtype)
+    if ed > cfg.first_l:
+        we = word_embed(
+            params, x_BLCv_wo_first_l[:, : ed - cfg.first_l], jnp.float32
+        )
+        x = jnp.concatenate([first, we], axis=1)
+    else:
+        x = first
+    x = (x + lvl_pos_embed(cfg, params)[None, :ed]).astype(dtype)
 
     if attn_bias is None:
-        attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))
+        attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))[:ed, :ed]
     dp_key = None
     if train_key is not None and cfg.dpr > 0:
         dp_key = jax.random.fold_in(train_key, 0xD80)

@@ -117,6 +117,9 @@ def run_training(
     key = jax.random.PRNGKey(seed + 1)
     it_stream = iter(sampler)
     t0 = time.time()
+    S = len(var_cfg.patch_nums)
+    prog_wp_it = max(tc.pgwp_epochs() * iters_per_ep, 1)
+    prog_it, last_prog_si, first_prog = 0, -1, True
     while g_it < max_it:
         if max_iters is not None and g_it >= max_iters:
             break
@@ -130,6 +133,19 @@ def run_training(
             tc.lr_schedule, tc.peak_lr(), tc.weight_decay,
             tc.weight_decay_end, g_it, wp_it, max_it, wpe=0.01,
         )
+        # progressive schedule + per-stage warmup (reference:
+        # train.py:286-301, trainer.py:90-99)
+        prog_si = tc.prog_si_at(g_it, wp_it, max_it, S)
+        if last_prog_si != prog_si:
+            if last_prog_si != -1:
+                first_prog = False
+            last_prog_si, prog_it = prog_si, 0
+        prog_it += 1
+        prog_wp = max(min(prog_it / prog_wp_it, 1), 0.01)
+        if first_prog:
+            prog_wp = 1.0
+        if prog_si == S - 1:
+            prog_si = -1
         state, metrics = train_step(
             var_cfg, vae_cfg, state, vae_params,
             jnp.asarray(img), jnp.asarray(label),
@@ -137,6 +153,7 @@ def run_training(
             jax.random.fold_in(key, g_it),
             clip=tc.grad_clip, label_smooth=tc.label_smooth,
             grad_accum=tc.grad_accum, dtype=dtype,
+            prog_si=prog_si, prog_wp=jnp.asarray(prog_wp, jnp.float32),
         )
         g_it += 1
         if g_it % 10 == 0 or g_it == 1:
@@ -226,12 +243,15 @@ def main():
     ap.add_argument("--ep", type=int, default=1)
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--out", type=str, default="local_output")
+    ap.add_argument("--pg", type=float, default=0.0,
+                    help="progressive training fraction (reference args.pg)")
+    ap.add_argument("--pg0", type=int, default=4)
     args = ap.parse_args()
     if args.smoke:
         smoke_test()
         return
     tc = TrainConfig(depth=args.depth, global_batch_size=args.bs,
-                     epochs=args.ep)
+                     epochs=args.ep, pg=args.pg, pg0=args.pg0)
     run_training(tc, data_root=args.data, out_dir=args.out,
                  max_iters=args.max_iters, batch_override=args.bs)
 

@@ -90,24 +90,40 @@ def loss_and_metrics(
     train_key: Optional[jax.Array], label_smooth: float,
     loss_weight: Optional[jnp.ndarray] = None,
     dtype=jnp.bfloat16,
+    prog_si: int = -1,
+    prog_wp: float | jnp.ndarray = 1.0,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """Token-weighted CE (reference: trainer.py:112-120) + logging metrics."""
+    """Token-weighted CE (reference: trainer.py:112-120) + logging metrics.
+
+    Progressive training (prog_si >= 0): the forward truncates at
+    begin_ends[prog_si][1] and the current stage's token weights are scaled
+    by the stage-warmup factor ``prog_wp`` (reference: trainer.py:113-117).
+    """
     L = var_cfg.L
     logits = var_train_forward(var_cfg, params, label_B, x_in,
-                               train_key=train_key, dtype=dtype)
-    ce = _ce_with_smoothing(logits, gt_BL, label_smooth)  # (B, L)
+                               train_key=train_key, dtype=dtype,
+                               prog_si=prog_si)
+    ed = L if prog_si < 0 else var_cfg.begin_ends[prog_si][1]
+    gt = gt_BL[:, :ed]
+    ce = _ce_with_smoothing(logits, gt, label_smooth)  # (B, ed)
     lw = loss_weight if loss_weight is not None else jnp.full((L,), 1.0 / L)
+    lw = lw[:ed]
+    if prog_si >= 0:
+        bg = var_cfg.begin_ends[prog_si][0]
+        lw = lw.at[bg:ed].multiply(jnp.clip(prog_wp, 0.0, 1.0))
     loss = jnp.mean(jnp.sum(ce * lw[None], axis=-1))
 
     last_l = var_cfg.patch_nums[-1] ** 2
     pred = jnp.argmax(logits, axis=-1)
-    ce_plain = _ce_with_smoothing(logits, gt_BL, 0.0)
+    ce_plain = _ce_with_smoothing(logits, gt, 0.0)
+    full = prog_si < 0 or ed == L
     metrics = {
         "Lm": jnp.mean(ce_plain),
-        "Lt": jnp.mean(ce_plain[:, -last_l:]),
-        "Accm": jnp.mean((pred == gt_BL).astype(jnp.float32)) * 100.0,
-        "Acct": jnp.mean((pred[:, -last_l:] == gt_BL[:, -last_l:])
-                         .astype(jnp.float32)) * 100.0,
+        "Lt": jnp.mean(ce_plain[:, -last_l:]) if full else jnp.float32(-1),
+        "Accm": jnp.mean((pred == gt).astype(jnp.float32)) * 100.0,
+        "Acct": (jnp.mean((pred[:, -last_l:] == gt[:, -last_l:])
+                          .astype(jnp.float32)) * 100.0
+                 if full else jnp.float32(-1)),
     }
     return loss, metrics
 
@@ -115,7 +131,7 @@ def loss_and_metrics(
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
-                     "grad_accum", "dtype"),
+                     "grad_accum", "dtype", "prog_si"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -125,6 +141,7 @@ def train_step(
     lr: jnp.ndarray, wd: jnp.ndarray, step_key: jax.Array,
     clip: float = 2.0, label_smooth: float = 0.0,
     grad_accum: int = 1, dtype=jnp.bfloat16,
+    prog_si: int = -1, prog_wp: float | jnp.ndarray = 1.0,
 ) -> Tuple[TrainState, Dict]:
     """One full training step: tokenize -> forward/backward (optionally
     scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW."""
@@ -140,7 +157,7 @@ def train_step(
         )
         return loss_and_metrics(
             var_cfg, params, label_mb, x_in, gt_BL, key, label_smooth,
-            dtype=dtype,
+            dtype=dtype, prog_si=prog_si, prog_wp=prog_wp,
         )
 
     grad_fn = jax.value_and_grad(

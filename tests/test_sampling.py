@@ -69,6 +69,27 @@ def test_gumbel_sampling_matches_categorical():
     np.testing.assert_allclose(got, probs, atol=0.03)
 
 
+@pytest.mark.parametrize("top_k,top_p", [(10, 0.8), (5, 0.5), (20, 0.95)])
+def test_fast_topk_domain_path_matches_masked_set(top_k, top_p):
+    """The top-k-domain nucleus fast path must admit exactly the same token
+    set as the reference-semantics full-vocab masking."""
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.standard_normal((3, 4, 64)).astype(np.float32) * 2)
+    slow = np.asarray(mask_top_p(mask_top_k(logits, top_k), top_p))
+    allowed_slow = ~np.isinf(slow)
+
+    vals, idxs = jax.lax.top_k(logits, top_k)
+    probs = jax.nn.softmax(vals, axis=-1)
+    prior = jnp.cumsum(probs, axis=-1) - probs
+    keep = np.asarray(prior < top_p)
+    allowed_fast = np.zeros(logits.shape, bool)
+    idxs_np = np.asarray(idxs)
+    for b in range(logits.shape[0]):
+        for l in range(logits.shape[1]):
+            allowed_fast[b, l, idxs_np[b, l][keep[b, l]]] = True
+    np.testing.assert_array_equal(allowed_slow, allowed_fast)
+
+
 def test_greedy_and_topk1_agree():
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.standard_normal((3, 5, 17)).astype(np.float32))

@@ -1,0 +1,147 @@
+"""Trainer-layer tests: loss parity checks, decay mask, schedules,
+progressive training, grad accumulation."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.models.var import init_var_params
+from sdvar_tpu.models.vqvae import init_vqvae_params
+from sdvar_tpu.train.schedule import lr_wd_annealing
+from sdvar_tpu.train.trainer import (
+    decay_mask,
+    eval_step,
+    init_train_state,
+    train_step,
+)
+
+PNS = (1, 2, 3)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    var_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                        vocab_size=64, Cvae=8, head_dim=32)
+    key = jax.random.PRNGKey(0)
+    vae_params = init_vqvae_params(vae_cfg, key)
+    base_params = init_var_params(var_cfg, jax.random.fold_in(key, 1))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, (4, 3, 48, 48)).astype(np.float32))
+    label = jnp.asarray([0, 1, 2, 3])
+
+    def fresh_state():
+        # train_step donates its state: every test gets its own copy
+        return init_train_state(jax.tree.map(jnp.copy, base_params))
+
+    return vae_cfg, var_cfg, vae_params, fresh_state, img, label
+
+
+def test_decay_mask_rules(stack):
+    _, _, _, fresh_state, _, _ = stack
+    mask = decay_mask(fresh_state().params)
+    assert mask["blocks"]["qkv_w"] is True
+    assert mask["blocks"]["q_bias"] is False
+    assert mask["blocks"]["fc1_b"] is False
+    assert mask["blocks"]["scale_mul"] is False       # nowd key
+    assert mask["pos_1LC"] is False                   # nowd key
+    assert mask["pos_start"] is False
+    assert mask["lvl_embed"] is False
+    assert mask["class_emb"] is True                  # 2-D, decayed (ref rule)
+    assert mask["head"]["w"] is True
+    assert mask["head"]["b"] is False
+
+
+def test_lr_wd_schedule_shapes():
+    # warmup ramp then decay to ~wpe * peak
+    peak = 1e-3
+    lr0, _ = lr_wd_annealing("lin0", peak, 0.05, 0.0, 0, 100, 1000, wpe=0.01)
+    lr_mid, _ = lr_wd_annealing("lin0", peak, 0.05, 0.0, 100, 100, 1000, wpe=0.01)
+    lr_end, wd_end = lr_wd_annealing("lin0", peak, 0.05, 0.0, 999, 100, 1000,
+                                     wpe=0.01)
+    assert lr0 < lr_mid
+    assert math.isclose(lr_mid, peak, rel_tol=1e-6)
+    assert lr_end < 0.05 * peak
+    assert wd_end < 1e-6
+    for sche in ("cos", "lin", "lin00", "lin0.5", "exp"):
+        lr, wd = lr_wd_annealing(sche, peak, 0.05, 0.0, 500, 100, 1000)
+        assert 0 < lr <= peak and 0 <= wd <= 0.05
+
+
+def test_train_step_reduces_loss(stack):
+    vae_cfg, var_cfg, vae_params, fresh_state, img, label = stack
+    losses = []
+    s = fresh_state()
+    for i in range(4):
+        s, m = train_step(
+            var_cfg, vae_cfg, s, vae_params, img, label,
+            jnp.asarray(5e-3), jnp.asarray(0.0), jax.random.PRNGKey(0),
+            label_smooth=0.0, dtype=jnp.float32,
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_grad_accum_matches_full_batch(stack):
+    vae_cfg, var_cfg, vae_params, fresh_state, img, label = stack
+    base = fresh_state().params
+    kw = dict(clip=0.0, label_smooth=0.0, dtype=jnp.float32)
+    s1, m1 = train_step(
+        var_cfg, vae_cfg, fresh_state(), vae_params, img,
+        label, jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(1),
+        grad_accum=1, **kw,
+    )
+    s2, m2 = train_step(
+        var_cfg, vae_cfg, fresh_state(), vae_params, img,
+        label, jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(1),
+        grad_accum=2, **kw,
+    )
+    # micro-batches use per-slice fold_in keys, so cond-drop draws differ;
+    # losses are close and parameters move comparably.
+    d1 = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                      s1.params, base)
+    d2 = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                      s2.params, base)
+    n1 = max(jax.tree.leaves(d1))
+    n2 = max(jax.tree.leaves(d2))
+    assert n1 > 0 and n2 > 0
+    assert abs(n1 - n2) / n1 < 0.5
+
+
+def test_progressive_training_stages(stack):
+    vae_cfg, var_cfg, vae_params, fresh_state, img, label = stack
+    s, m = train_step(
+        var_cfg, vae_cfg, fresh_state(), vae_params, img,
+        label, jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(2),
+        label_smooth=0.0, dtype=jnp.float32, prog_si=1,
+        prog_wp=jnp.asarray(0.5, jnp.float32),
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["Lt"]) == -1.0  # tail metrics undefined under truncation
+    # params beyond... all params still get grads through truncated seq
+    assert float(m["Accm"]) >= 0.0
+
+
+def test_prog_schedule():
+    tc = TrainConfig(depth=2, pg=0.5, pg0=1, epochs=10)
+    S = 10
+    assert tc.prog_si_at(0, 100, 1000, S) == 1
+    assert tc.prog_si_at(50, 100, 1000, S) == 1
+    assert tc.prog_si_at(500, 100, 1000, S) == S - 1
+    mid = tc.prog_si_at(300, 100, 1000, S)
+    assert 1 <= mid <= S - 1
+    tc0 = TrainConfig(depth=2, pg=0.0)
+    assert tc0.prog_si_at(123, 100, 1000, S) == -1
+
+
+def test_eval_step_keys(stack):
+    vae_cfg, var_cfg, vae_params, fresh_state, img, label = stack
+    out = eval_step(var_cfg, vae_cfg, fresh_state().params, vae_params, img,
+                    label, dtype=jnp.float32)
+    assert set(out) == {"L_mean", "L_tail", "acc_mean", "acc_tail", "tot"}
+    assert float(out["tot"]) == 4.0
