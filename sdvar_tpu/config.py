@@ -195,6 +195,8 @@ class SpeculativeConfig:
     sd_mask: int = 3                     # verify mask mode 0..5 (var.py:777-824)
     dynamic_gamma: bool = True           # shrink gamma on total rejection
     force_accept_at_gamma1: bool = True  # livelock guard (var.py:1358-1364)
+    force_accept_all: bool = False       # perf harness: accept every drafted
+                                         # scale (pipeline-ceiling measurement)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,6 +92,26 @@ def _draft_scale_step(var_cfg, vae_cfg, params, quant_params, si,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("var_cfg", "vae_cfg", "start", "gamma", "samp", "dtype"),
+)
+def _draft_window(var_cfg, vae_cfg, params, quant_params, start, gamma,
+                  state, sos, lvl_pos, key, samp, dtype):
+    """Draft ``gamma`` consecutive scales in ONE compiled program (the
+    host-dispatch-per-scale version costs a round trip per scale). Returns
+    (final state, per-scale ids tuple, per-scale f_hat/next_map checkpoints
+    for partial-acceptance rollback, hub tuple)."""
+    ids_list, ckpts, hub = [], [], []
+    for si in range(start, start + gamma):
+        state, ids = scale_step(var_cfg, vae_cfg, params, quant_params, si,
+                                state, sos, lvl_pos, key, samp, dtype)
+        ids_list.append(ids)
+        ckpts.append((state.f_hat, state.next_map))
+        hub.append(state.next_map)
+    return state, tuple(ids_list), tuple(ckpts), tuple(hub)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("var_cfg", "start", "gamma", "samp", "dtype"),
 )
 def _target_verify_window(
@@ -231,6 +251,19 @@ def _match_rate(draft_ids: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((draft_ids == target_ids).astype(jnp.float32))
 
 
+def _match_rates_once(draft_ids, target_ids) -> jnp.ndarray:
+    """All window match rates in one device program -> (gamma,) vector; the
+    host loop syncs ONCE per round instead of once per scale."""
+
+    @jax.jit
+    def go(ds, ts):
+        return jnp.stack(
+            [jnp.mean((d == t).astype(jnp.float32)) for d, t in zip(ds, ts)]
+        )
+
+    return go(tuple(draft_ids), tuple(target_ids))
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -284,6 +317,23 @@ class SpeculativeEngine:
             hub.append(state.next_map)
         return states, ids_list, hub
 
+    def _draft_window_fused(
+        self, state: DecodeState, sos, lvl_pos, start: int, gamma: int,
+        key: jax.Array, attempt: int, samp: SamplingConfig, stats: SpecStats,
+    ):
+        """One-dispatch draft of a whole gamma-window (same numerics as
+        _draft_scales; host round-trips per scale removed)."""
+        dkey = jax.random.fold_in(key, DRAFT_STREAM)
+        if attempt:
+            dkey = jax.random.fold_in(dkey, 1000 + attempt)
+        state, ids_list, ckpts, hub = _draft_window(
+            self.draft_cfg, self.vae_cfg, self.draft_params,
+            self.quant_params, start, gamma, state, sos, lvl_pos, dkey,
+            samp, self.dtype,
+        )
+        stats.draft_calls += gamma
+        return state, list(ids_list), list(ckpts), list(hub)
+
     # -- public API ---------------------------------------------------------
 
     def generate_speculative(
@@ -311,14 +361,14 @@ class SpeculativeEngine:
         attempt = 0
         while stage < S:
             g = min(gamma, S - stage)
-            # 1. draft g scales
-            d_states, d_ids, d_hub = self._draft_scales(
+            # 1. draft g scales in one dispatch
+            prev_next_map = d_state.next_map
+            d_final, d_ids, d_ckpts, d_hub = self._draft_window_fused(
                 d_state, d_sos, d_lvl, stage, g, key, attempt, samp, stats
             )
             # 2. target verifies the window in ONE forward
             hub_in = tuple(
-                ([] if stage == 0 else [d_state.next_map])
-                + [s.next_map for s in d_states[:-1]]
+                ([] if stage == 0 else [prev_next_map]) + d_hub[:-1]
             )
             t_argmax, t_logits, t_cache = _target_verify_window(
                 self.target_cfg, self.target_params, stage, g, t_cache,
@@ -326,8 +376,12 @@ class SpeculativeEngine:
             )
             stats.target_calls += 1
 
-            # 3. per-scale top-1 matching with cascade reject
-            rates = [float(_match_rate(d, t)) for d, t in zip(d_ids, t_argmax)]
+            # 3. per-scale top-1 matching with cascade reject (single host
+            # sync for the whole window)
+            if spec.force_accept_all:
+                rates = [1.0] * g
+            else:
+                rates = np.asarray(_match_rates_once(d_ids, t_argmax)).tolist()
             stats.match_rates.extend(rates)
             accept = 0
             for r in rates:
@@ -337,7 +391,9 @@ class SpeculativeEngine:
                     break
 
             if accept > 0:
-                d_state = d_states[accept - 1]
+                f_hat, next_map = d_ckpts[accept - 1]
+                d_state = DecodeState(f_hat=f_hat, next_map=next_map,
+                                      cache=d_final.cache)
                 stats.accept_count += accept
                 stage += accept
                 attempt = 0
@@ -361,8 +417,7 @@ class SpeculativeEngine:
                 )
                 d_state = DecodeState(
                     f_hat=f_hat, next_map=next_map,
-                    cache=(d_states[j].cache if j < len(d_states)
-                           else d_state.cache),
+                    cache=d_final.cache,
                 )
                 # NOTE: the draft's cached keys for this scale came from its
                 # own (rejected) tokens; the next draft write at this offset
@@ -380,7 +435,9 @@ class SpeculativeEngine:
                     gamma = gamma - 1
                     attempt += 1
                 elif spec.force_accept_at_gamma1:
-                    d_state = d_states[0]
+                    f_hat, next_map = d_ckpts[0]
+                    d_state = DecodeState(f_hat=f_hat, next_map=next_map,
+                                          cache=d_final.cache)
                     stats.accept_count += 1
                     stats.forced_accepts += 1
                     stage += 1

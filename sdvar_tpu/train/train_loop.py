@@ -163,7 +163,8 @@ def run_training(
                   f"Lm={m['Lm']:.4f} Accm={m['Accm']:.2f} "
                   f"gnorm={m['grad_norm']:.3f} lr={m['lr']:.2e}")
             tb.update("AR_iter_loss", g_it, force=True, **{
-                k: m[k] for k in ("Lm", "Lt", "Accm", "Acct", "grad_norm")
+                k: m[k] for k in ("Lm", "Lt", "Accm", "Acct", "grad_norm",
+                                  "z_voc_usage")
             })
         ep = g_it // iters_per_ep
         if g_it % iters_per_ep == 0:

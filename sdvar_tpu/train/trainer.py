@@ -117,6 +117,14 @@ def loss_and_metrics(
     pred = jnp.argmax(logits, axis=-1)
     ce_plain = _ce_with_smoothing(logits, gt, 0.0)
     full = prog_si < 0 or ed == L
+    # codebook-usage: fraction of vocab entries the model actually predicts
+    # (reference z_voc_usage, trainer.py:139-143)
+    V = var_cfg.vocab_size
+    counts = jnp.bincount(pred.reshape(-1), length=V).astype(jnp.float32)
+    usage = jnp.mean(
+        (counts / jnp.maximum(counts.sum(), 1.0) > 0.001 / V)
+        .astype(jnp.float32)
+    ) * 100.0
     metrics = {
         "Lm": jnp.mean(ce_plain),
         "Lt": jnp.mean(ce_plain[:, -last_l:]) if full else jnp.float32(-1),
@@ -124,6 +132,7 @@ def loss_and_metrics(
         "Acct": (jnp.mean((pred[:, -last_l:] == gt[:, -last_l:])
                           .astype(jnp.float32)) * 100.0
                  if full else jnp.float32(-1)),
+        "z_voc_usage": usage,
     }
     return loss, metrics
 
@@ -182,7 +191,8 @@ def train_step(
             return (g_sum, l_sum + loss, m_sum), None
 
         zero_g = jax.tree.map(jnp.zeros_like, state.params)
-        zero_m = {"Lm": 0.0, "Lt": 0.0, "Accm": 0.0, "Acct": 0.0}
+        zero_m = {k: jnp.float32(0)
+                  for k in ("Lm", "Lt", "Accm", "Acct", "z_voc_usage")}
         (grads, loss, metrics), _ = jax.lax.scan(
             acc_body, (zero_g, 0.0, zero_m),
             (img_s, lab_s, jnp.arange(grad_accum)),
