@@ -1,0 +1,98 @@
+"""Capture a jax.profiler trace of the fused d30 decode and print an op-level
+time breakdown (parses the Chrome-trace json the TPU profiler emits).
+
+Usage: python tools/profile_decode.py [depth] [batch]
+"""
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import sys
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.engine.decode import decode_all_scales
+from sdvar_tpu.models.quantizer import init_quantizer_params
+from sdvar_tpu.models.var import init_var_params
+
+depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+var_cfg = VARConfig(depth=depth)
+vae_cfg = VQVAEConfig()
+key = jax.random.PRNGKey(0)
+print(f"[prof] init VAR-d{depth} params...", flush=True)
+t0 = time.time()
+params = init_var_params(var_cfg, key, dtype=jnp.bfloat16)
+qp = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1))
+params = jax.device_put(params)
+qp = jax.device_put(qp)
+print(f"[prof] init done in {time.time()-t0:.1f}s", flush=True)
+
+label = jnp.arange(batch, dtype=jnp.int32) % 1000
+samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
+
+print("[prof] compile + warmup...", flush=True)
+t0 = time.time()
+out = decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp)
+out.block_until_ready()
+print(f"[prof] warmup done in {time.time()-t0:.1f}s", flush=True)
+
+for _ in range(2):
+    t0 = time.time()
+    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp).block_until_ready()
+    print(f"[prof] steady-state: {time.time()-t0*1:.3f}s".replace("-", " "), flush=True)
+    print(f"[prof] rep {time.time()-t0:.3f}s", flush=True)
+
+logdir = "/tmp/sdvar_prof"
+with jax.profiler.trace(logdir):
+    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp).block_until_ready()
+
+# find the newest trace json
+cands = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
+if not cands:
+    print("[prof] no trace.json.gz found; files:", flush=True)
+    for f in glob.glob(logdir + "/**/*", recursive=True):
+        print("   ", f, flush=True)
+    sys.exit(1)
+path = cands[-1]
+print(f"[prof] parsing {path}", flush=True)
+with gzip.open(path, "rt") as f:
+    trace = json.load(f)
+
+events = trace.get("traceEvents", [])
+# Find TPU device-op events: pid/tid mapping varies; aggregate complete events
+# ("ph"=="X") by name on threads whose process is the TPU.
+pid_names = {}
+for e in events:
+    if e.get("ph") == "M" and e.get("name") == "process_name":
+        pid_names[e["pid"]] = e["args"].get("name", "")
+
+bytime = defaultdict(float)
+count = defaultdict(int)
+total = 0.0
+for e in events:
+    if e.get("ph") != "X":
+        continue
+    pname = pid_names.get(e.get("pid"), "")
+    if "TPU" not in pname and "xla" not in pname.lower() and "device" not in pname.lower():
+        continue
+    name = e.get("name", "?")
+    dur = e.get("dur", 0) / 1e3  # us -> ms
+    bytime[name] += dur
+    count[name] += 1
+    total += dur
+
+print(f"\n[prof] process names seen: {sorted(set(pid_names.values()))}")
+print(f"[prof] total device op time: {total:.1f} ms (may double-count nesting)")
+print(f"\n{'ms':>10}  {'n':>5}  op")
+for name, ms in sorted(bytime.items(), key=lambda kv: -kv[1])[:45]:
+    print(f"{ms:10.2f}  {count[name]:5d}  {name[:110]}")
