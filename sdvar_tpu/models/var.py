@@ -200,13 +200,9 @@ def _attention(
     qkv_bias = jnp.concatenate(
         [layer["q_bias"], jnp.zeros_like(layer["q_bias"]), layer["v_bias"]]
     ).astype(x.dtype)
-    from sdvar_tpu.ops.quantization import resolve_weight
+    from sdvar_tpu.ops.quantization import linear_blc
 
-    qkv = (
-        jnp.einsum("blc,ck->blk", x, resolve_weight(layer["qkv_w"], x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-        + qkv_bias
-    )
+    qkv = linear_blc(x, layer["qkv_w"], x.dtype) + qkv_bias
     q, k, v = [a.reshape(B, L, H, hd) for a in jnp.split(qkv, 3, axis=-1)]
 
     if cfg.attn_l2_norm:
@@ -257,28 +253,17 @@ def _attention(
     from sdvar_tpu.ops.attention import attention as _attn_dispatch
 
     out = _attn_dispatch(q, k, v, attn_bias, scale).reshape(B, L, C)
-    out = (
-        jnp.einsum("blc,ck->blk", out, resolve_weight(layer["proj_w"], x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = linear_blc(out, layer["proj_w"], x.dtype) \
         + layer["proj_b"].astype(x.dtype)
-    )
     return out, new_cache
 
 
 def _ffn(cfg: VARConfig, layer: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    from sdvar_tpu.ops.quantization import resolve_weight
+    from sdvar_tpu.ops.quantization import linear_blc
 
-    h = (
-        jnp.einsum("blc,ck->blk", x, resolve_weight(layer["fc1_w"], x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-        + layer["fc1_b"].astype(x.dtype)
-    )
+    h = linear_blc(x, layer["fc1_w"], x.dtype) + layer["fc1_b"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=True)  # GELU(tanh), basic_var.py:40
-    h = (
-        jnp.einsum("blk,kc->blc", h, resolve_weight(layer["fc2_w"], x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-        + layer["fc2_b"].astype(x.dtype)
-    )
+    h = linear_blc(h, layer["fc2_w"], x.dtype) + layer["fc2_b"].astype(x.dtype)
     return h
 
 
@@ -370,13 +355,11 @@ def get_logits(cfg: VARConfig, params: Params, h: jnp.ndarray,
     ) + hn["b"]
     ss = ss.reshape(-1, 1, 2, C)
     scale, shift = ss[:, :, 0, :], ss[:, :, 1, :]
-    from sdvar_tpu.ops.quantization import resolve_weight
+    from sdvar_tpu.ops.quantization import linear_blc
 
     h32 = _ln(h.astype(jnp.float32), cfg.norm_eps) * (scale + 1.0) + shift
-    return jnp.einsum(
-        "blc,cv->blv", h32, resolve_weight(params["head"]["w"], jnp.float32),
-        preferred_element_type=jnp.float32,
-    ) + params["head"]["b"]
+    return linear_blc(h32, params["head"]["w"], jnp.float32) \
+        + params["head"]["b"]
 
 
 def word_embed(params: Params, x_BLCv: jnp.ndarray, dtype) -> jnp.ndarray:

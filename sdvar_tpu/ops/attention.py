@@ -28,12 +28,15 @@ def set_attention_impl(impl: str) -> None:
     _IMPL = impl
 
 
-def get_attention_impl() -> str:
+def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
     if _IMPL != "auto":
         return _IMPL
-    # Measured on v5e (VAR-d30 B=16 decode): XLA's fused attention currently
-    # beats the one-(batch,head)-per-program Pallas kernel (14.7 vs 12.9
-    # img/s) — the kernel needs q/head blocking before it earns the default.
+    # auto: the merged-layout Pallas kernel wins on TPU once the query block
+    # is big enough to amortize the grid (XLA's path materializes f32 scores
+    # in HBM, ~2 ms/layer at d30 scale 9); tiny scales stay on XLA where
+    # score traffic is negligible and fusion with neighbors is worth more.
+    if jax.default_backend() in ("tpu", "axon") and Lq >= 64:
+        return "pallas"
     return "xla"
 
 
@@ -43,7 +46,7 @@ def attention(
 ) -> jnp.ndarray:
     """q: (B, Lq, H, d); k/v: (B, Lk, H, d); bias: (Lq, Lk) or None.
     Returns (B, Lq, H, d)."""
-    impl = get_attention_impl()
+    impl = get_attention_impl(q.shape[1], k.shape[1])
     if impl == "pallas":
         from sdvar_tpu.ops.pallas.attention import pallas_attention
 

@@ -6,16 +6,30 @@ reference: models/basic_var.py:14-30,97-117): one kernel serves training
 (block-causal bias), KV-cached decode (bias-free, small queries), handoff
 prefill and speculative verify (additive scale-block masks).
 
-Why a custom kernel: a plain einsum-softmax-einsum materializes the
-(B, H, Lq, Lk) score tensor in HBM (at d30 scale-9 that is hundreds of MB of
-round-trip traffic per layer). VAR sequences are short (L <= 680 at 256px,
-2240 at 1024px), so an entire (q, k, v) triple for one (batch, head) pair
-fits VMEM — no online-softmax streaming needed; one fused program computes
-scores + softmax + PV without leaving VMEM.
+Why a custom kernel: XLA's attention materializes the (B, H, Lq, Lk) f32
+score tensor in HBM (at d30 scale 9 that is ~670 MB of round-trip traffic
+per layer) and lays out q/k/v with batch minor, which forces full KV-cache
+layout copies at scale boundaries. VAR sequences are short (L <= 680 at
+256px, 2240 at 1024px), so whole (q, k, v) slices fit VMEM — no
+online-softmax streaming needed; one fused program computes scores +
+softmax + PV without leaving VMEM.
 
-Grid: (batch, heads). Each program handles one head of one batch row:
-  q (Lq, d), k/v (Lk, d), optional bias (Lq, Lk) shared across the grid.
-The f32 score tile peaks at 680x680x4B = 1.85 MB — well under the 16 MB VMEM.
+v2 design (v1 did one (batch, head) pair per program on transposed
+(B*H, L, d) inputs — the four HBM layout transforms around the kernel cost
+more than the fusion saved):
+  - inputs stay in the model's native merged-head layout (B, L, H*hd);
+    reshaping (B, L, H, hd) <-> (B, L, C) is free, so the kernel composes
+    with the KV cache slices with ZERO transposes;
+  - grid (B, H / hpp) with hpp = 128 // hd heads per program, so every
+    VMEM block is 128-lane aligned (a trailing dim of hd=64 would waste
+    half of every lane tile);
+  - scores/softmax in f32 registers/VMEM only; PV accumulates f32 on the
+    MXU (preferred_element_type).
+
+Training runs through a custom_vjp whose backward is the plain XLA
+einsum composition — forward pass gets the fused kernel, gradients get
+XLA's (already well-fused) backward, and nothing needs a handwritten
+transposed kernel.
 """
 
 from __future__ import annotations
@@ -29,45 +43,120 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0]  # (Lq, d)
-    k = k_ref[0]  # (Lk, d)
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    s = s + bias_ref[...].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    # guard fully-masked rows (all -inf): max is -inf -> exp(nan); clamp
-    m = jnp.maximum(m, -1e30)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, bias_ref=None):
+    """One program: ``hpp`` heads of one batch row, merged-head blocks.
 
-
-def _attn_kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q_ref: (1, Lq, hpp*hd); k_ref/v_ref: (1, Lk, hpp*hd);
+    bias_ref: (Lq, Lk) f32 or None; o_ref: (1, Lq, hpp*hd).
+    """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    outs = []
+    for j in range(hpp):
+        sl = slice(j * hd, (j + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[...]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # guard fully-masked rows (all -inf): exp(-inf - -inf) = nan
+        m = jnp.maximum(m, -1e30)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(l, 1e-30)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _xla_attention(q, k, v, bias, scale):
+    """Reference composition (B, Lq, H, d) — also the VJP backward path."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None, None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _pallas_forward(q, k, v, bias, scale: float, interpret: bool):
+    B, Lq, H, hd = q.shape
+    Lk = k.shape[1]
+    hpp = max(1, 128 // hd)
+    while H % hpp:
+        hpp //= 2
+    C = H * hd
+    qm = q.reshape(B, Lq, C)
+    km = k.reshape(B, Lk, C)
+    vm = v.reshape(B, Lk, C)
+
+    grid = (B, H // hpp)
+    blk = hpp * hd
+    qspec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, Lk, blk), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * H * Lq * Lk * hd,
+        bytes_accessed=2 * (B * Lq * C + 2 * B * Lk * C),
+        transcendentals=B * H * Lq * Lk,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    kw = dict(scale=scale, hpp=hpp, hd=hd)
+    if bias is not None:
+        bspec = pl.BlockSpec((Lq, Lk), lambda b, h: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+        def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref):
+            _kernel(q_ref, k_ref, v_ref, o_ref, bias_ref=b_ref, **kw)
+
+        out = pl.pallas_call(
+            _kernel_bias,
+            grid=grid,
+            in_specs=[qspec, kspec, kspec, bspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qm, km, vm, bias.astype(jnp.float32))
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            grid=grid,
+            in_specs=[qspec, kspec, kspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qm, km, vm)
+    return out.reshape(B, Lq, H, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_vjp(q, k, v, bias, scale, interpret):
+    return _pallas_forward(q, k, v, bias, scale, interpret)
+
+
+def _attention_fwd(q, k, v, bias, scale, interpret):
+    return _pallas_forward(q, k, v, bias, scale, interpret), (q, k, v, bias)
+
+
+def _attention_bwd(scale, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v, b: _xla_attention(q, k, v, b, scale),
+                     q, k, v, bias)
+    dq, dk, dv, db = vjp(g)
+    return dq, dk, dv, db
+
+
+_attention_vjp.defvjp(_attention_fwd, _attention_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -79,44 +168,4 @@ def pallas_attention(
     scale: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    B, Lq, H, d = q.shape
-    Lk = k.shape[1]
-    qT = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, d)
-    kT = k.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
-    vT = v.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
-
-    grid = (B * H,)
-    qspec = pl.BlockSpec((1, Lq, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, Lk, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, Lq, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=2 * 2 * Lq * Lk * d,
-        bytes_accessed=(Lq * d + 2 * Lk * d + Lq * d) * 2,
-        transcendentals=Lq * Lk,
-    )
-    if bias is not None:
-        bspec = pl.BlockSpec((Lq, Lk), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_bias, scale=scale),
-            grid=grid,
-            in_specs=[qspec, kspec, kspec, bspec],
-            out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((B * H, Lq, d), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qT, kT, vT, bias.astype(jnp.float32))
-    else:
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_nobias, scale=scale),
-            grid=grid,
-            in_specs=[qspec, kspec, kspec],
-            out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((B * H, Lq, d), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qT, kT, vT)
-    return out.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
+    return _attention_vjp(q, k, v, bias, scale, interpret)

@@ -80,6 +80,40 @@ def resolve_weight(w, dtype) -> jnp.ndarray:
     return w.astype(dtype)
 
 
+def _as_quantized(w) -> Optional[QuantizedLinear]:
+    if isinstance(w, QuantizedLinear):
+        return w
+    if isinstance(w, tuple) and len(w) == 2 and hasattr(w[0], "dtype") \
+            and w[0].dtype == jnp.int8:
+        return QuantizedLinear(*w)
+    return None
+
+
+def linear_blc(x_blc: jnp.ndarray, w, dtype) -> jnp.ndarray:
+    """(B, L, K) @ w -> (B, L, N) with f32 MXU accumulation.
+
+    INT8 weights route through the fused Pallas dequant-matmul on TPU
+    (ops/pallas/matmul_int8.py) — int8 stays int8 in HBM; the XLA fallback
+    (CPU tests, odd shapes) dequantizes then matmuls. bf16/f32 weights take
+    the plain einsum.
+    """
+    qw = _as_quantized(w)
+    if qw is not None and qw.q.ndim == 2 and jax.default_backend() in (
+            "tpu", "axon"):
+        from sdvar_tpu.ops.pallas.matmul_int8 import int8_matmul_blc
+
+        K, N = qw.q.shape
+        M = x_blc.shape[0] * x_blc.shape[1]
+        # tile-aligned shapes only; odd shapes fall back to XLA dequant
+        if K % 128 == 0 and N % 128 == 0 and M % 8 == 0:
+            return int8_matmul_blc(x_blc.astype(dtype), qw.q, qw.scale,
+                                   out_dtype=dtype)
+    return jnp.einsum(
+        "blc,ck->blk", x_blc, resolve_weight(w, dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # INT8 KV cache
 # ---------------------------------------------------------------------------

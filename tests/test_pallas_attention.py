@@ -62,6 +62,27 @@ def test_verify_window_bias_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) == differentiating the XLA path."""
+    B, H, d, Lq, Lk = 1, 2, 64, 6, 14
+    q, k, v = (_rand((B, L, H, d), 40 + i) for i, L in enumerate((Lq, Lk, Lk)))
+    bias = jnp.asarray(block_causal_bias((1, 2, 3))[:Lq, :Lk])
+
+    def loss_p(q, k, v):
+        return jnp.sum(
+            pallas_attention(q, k, v, bias, 0.125, interpret=True) ** 2
+        )
+
+    def loss_x(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, bias, 0.125) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_inputs():
     B, H, d, Lq, Lk = 2, 2, 64, 9, 30
     q, k, v = (

@@ -25,6 +25,10 @@ from sdvar_tpu.models.var import init_var_params
 
 depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+if len(sys.argv) > 3:
+    from sdvar_tpu.ops.attention import set_attention_impl
+
+    set_attention_impl(sys.argv[3])
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
