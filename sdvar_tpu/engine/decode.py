@@ -53,10 +53,12 @@ def scale_step(
     key: jax.Array,
     samp: SamplingConfig,
     dtype=jnp.bfloat16,
+    mods=None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """One scale of KV-cached CFG decode. Returns (state', token ids (B, pn^2)).
 
     ``si`` is static — offsets, shapes and masks are compile-time constants.
+    ``mods``: optional precomputed AdaLN modulations (shared across scales).
     """
     pn = var_cfg.patch_nums[si]
     bg, ed = var_cfg.begin_ends[si]
@@ -73,7 +75,7 @@ def scale_step(
 
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=None,
-        cache=state.cache, cache_begin=bg, kv_len=ed,
+        cache=state.cache, cache_begin=bg, kv_len=ed, mods=mods,
     )
     logits = M.get_logits(var_cfg, params, h, sos)  # (2B, pn^2, V) f32
 
@@ -152,11 +154,12 @@ def decode_all_scales(
     (B, Cvae, HW, HW), optionally with the sampled ids (B, L)."""
     state, sos, lvl_pos = init_decode(var_cfg, params, label_B, dtype,
                                       kv_mode=kv_mode)
+    mods = M.precompute_modulations(var_cfg, params, sos)
     ids_all = []
     for si in range(var_cfg.num_scales):
         state, ids = scale_step(
             var_cfg, vae_cfg, params, quant_params, si, state, sos, lvl_pos,
-            key, samp, dtype,
+            key, samp, dtype, mods=mods,
         )
         ids_all.append(ids)
     if return_ids:

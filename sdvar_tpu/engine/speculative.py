@@ -85,9 +85,14 @@ class SpecStats:
     jax.jit, static_argnames=("var_cfg", "vae_cfg", "si", "samp", "dtype")
 )
 def _draft_scale_step(var_cfg, vae_cfg, params, quant_params, si,
-                      state, sos, lvl_pos, key, samp, dtype):
+                      state, sos, lvl_pos, key, samp, dtype, mods=None):
     return scale_step(var_cfg, vae_cfg, params, quant_params, si, state,
-                      sos, lvl_pos, key, samp, dtype)
+                      sos, lvl_pos, key, samp, dtype, mods=mods)
+
+
+@functools.partial(jax.jit, static_argnames=("var_cfg",))
+def _precompute_mods(var_cfg, params, sos):
+    return M.precompute_modulations(var_cfg, params, sos)
 
 
 @functools.partial(
@@ -100,10 +105,12 @@ def _draft_window(var_cfg, vae_cfg, params, quant_params, start, gamma,
     host-dispatch-per-scale version costs a round trip per scale). Returns
     (final state, per-scale ids tuple, per-scale f_hat/next_map checkpoints
     for partial-acceptance rollback, hub tuple)."""
+    mods = M.precompute_modulations(var_cfg, params, sos)
     ids_list, ckpts, hub = [], [], []
     for si in range(start, start + gamma):
         state, ids = scale_step(var_cfg, vae_cfg, params, quant_params, si,
-                                state, sos, lvl_pos, key, samp, dtype)
+                                state, sos, lvl_pos, key, samp, dtype,
+                                mods=mods)
         ids_list.append(ids)
         ckpts.append((state.f_hat, state.next_map))
         hub.append(state.next_map)
@@ -156,6 +163,7 @@ def _target_verify_window(
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=bias,
         cache=cache, cache_begin=bg0, kv_len=kv_len,
+        mods=M.precompute_modulations(var_cfg, params, sos),
     )
     logits = M.get_logits(var_cfg, params, h, sos)  # (2B, Lq, V)
 
@@ -216,6 +224,7 @@ def _target_prefill_handoff(
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=bias,
         cache=cache, cache_begin=0, kv_len=P,
+        mods=M.precompute_modulations(var_cfg, params, sos),
     )
     sbg, sed = var_cfg.begin_ends[entry_num]
     logits = M.get_logits(var_cfg, params, h[:, sbg:sed], sos)
@@ -304,12 +313,13 @@ class SpeculativeEngine:
         dkey = jax.random.fold_in(key, DRAFT_STREAM)
         if attempt:
             dkey = jax.random.fold_in(dkey, 1000 + attempt)
+        mods = _precompute_mods(self.draft_cfg, self.draft_params, sos)
         states, ids_list, hub = [], [], []
         for si in range(start, start + gamma):
             state, ids = _draft_scale_step(
                 self.draft_cfg, self.vae_cfg, self.draft_params,
                 self.quant_params, si, state, sos, lvl_pos, dkey, samp,
-                self.dtype,
+                self.dtype, mods=mods,
             )
             stats.draft_calls += 1
             states.append(state)
@@ -484,11 +494,12 @@ class SpeculativeEngine:
         )
         stats.target_calls += 1
 
+        t_mods = _precompute_mods(self.target_cfg, self.target_params, t_sos)
         for si in range(entry_num + 1, S):
             state, _ = _draft_scale_step(
                 self.target_cfg, self.vae_cfg, self.target_params,
                 self.quant_params, si, state, t_sos, t_lvl, tkey, samp,
-                self.dtype,
+                self.dtype, mods=t_mods,
             )
             stats.target_calls += 1
         return state.f_hat, stats

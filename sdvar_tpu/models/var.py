@@ -159,6 +159,38 @@ def cond_six(cfg: VARConfig, params: Params, cond_BD: jnp.ndarray,
     return c.astype(dtype)
 
 
+def precompute_modulations(cfg: VARConfig, params: Params,
+                           cond_BD: jnp.ndarray) -> jnp.ndarray:
+    """All-layer AdaLN modulations, (depth, B, 6, C) f32.
+
+    The modulations are a function of the class conditioning ONLY, so the
+    decode engine computes them once per generation instead of re-running
+    the (D -> 6C) projection in every layer of every scale (the reference
+    recomputes per block per forward: models/basic_var.py:152-156).
+    lax.map keeps the dequant transient per-layer when ada_lin_w is INT8.
+    """
+    C = cfg.embed_dim
+    cond_pre = cond_six(cfg, params, cond_BD, jnp.float32)
+    if cfg.shared_aln:
+        # cond_pre (B, 1, 6, C); ada_gss (depth, 1, 6, C)
+        return (cond_pre[None, :, 0] +
+                params["blocks"]["ada_gss"][:, :1].astype(jnp.float32))
+
+    from sdvar_tpu.ops.quantization import resolve_weight
+
+    def one(wb):
+        w, b = wb
+        six = jnp.einsum(
+            "bd,dk->bk", cond_pre, resolve_weight(w, jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + b
+        return six.reshape(-1, 6, C)
+
+    return jax.lax.map(
+        one, (params["blocks"]["ada_lin_w"], params["blocks"]["ada_lin_b"])
+    )
+
+
 def _block_modulations(cfg: VARConfig, layer: Dict, cond_pre: jnp.ndarray):
     """Per-block (gamma1, gamma2, scale1, scale2, shift1, shift2), each
     (B, 1, C)."""
@@ -273,6 +305,7 @@ def apply_transformer(
     cache: Optional[KVCache] = None,
     cache_begin: int = 0, kv_len: int = 0,
     drop_path_key: Optional[jax.Array] = None,
+    mods: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the block stack via lax.scan over stacked layer params.
 
@@ -282,22 +315,29 @@ def apply_transformer(
     over keys [0, kv_len).
     drop_path_key: enables stochastic depth (training) with per-layer rates
     linspace(0, cfg.dpr, depth) (reference: models/var.py:85).
+    mods: optional precomputed (depth, B, 6, C) AdaLN modulations
+    (precompute_modulations) — the decode engine shares one copy across all
+    scales instead of re-projecting per layer per scale.
     """
-    cond_pre = cond_six(cfg, params, cond_BD, dtype=jnp.float32)
+    if mods is None:
+        cond_pre = cond_six(cfg, params, cond_BD, dtype=jnp.float32)
     depth = cfg.depth
     dpr = jnp.linspace(0.0, cfg.dpr, depth) if drop_path_key is not None else None
 
     quantized_cache = cache is not None and hasattr(cache, "k_s")
 
     def body(carry, inp):
-        layer, li = inp
+        layer, li, mod_l = inp
         if cache is not None:
             h, *cache_arrs = carry
             cache_tuple = tuple(cache_arrs)
         else:
             h = carry
             cache_tuple = None
-        g1, g2, s1, s2, sh1, sh2 = _block_modulations(cfg, layer, cond_pre)
+        if mod_l is not None:
+            g1, g2, s1, s2, sh1, sh2 = [mod_l[:, None, i] for i in range(6)]
+        else:
+            g1, g2, s1, s2, sh1, sh2 = _block_modulations(cfg, layer, cond_pre)
         g1, g2, s1, s2, sh1, sh2 = [t.astype(h.dtype) for t in (g1, g2, s1, s2, sh1, sh2)]
 
         a_in = _ln(h, cfg.norm_eps) * (1.0 + s1) + sh1
@@ -328,18 +368,19 @@ def apply_transformer(
         return h, None
 
     li = jnp.arange(depth)
+    xs = (params["blocks"], li, mods)  # a None mods leaf scans as None
     if cache is not None:
         # cache rides the CARRY (same buffer updated in place layer by
         # layer), not the scan ys — ys would allocate a second full cache.
         init = (x,) + tuple(cache)
-        out_carry, _ = jax.lax.scan(body, init, (params["blocks"], li))
+        out_carry, _ = jax.lax.scan(body, init, xs)
         x = out_carry[0]
         if quantized_cache:
             from sdvar_tpu.ops.quantization import QuantizedKVCache
 
             return x, QuantizedKVCache(*out_carry[1:])
         return x, KVCache(*out_carry[1:])
-    x, _ = jax.lax.scan(body, x, (params["blocks"], li))
+    x, _ = jax.lax.scan(body, x, xs)
     return x, None
 
 

@@ -33,9 +33,10 @@ def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
         return _IMPL
     # auto: the merged-layout Pallas kernel wins on TPU once the query block
     # is big enough to amortize the grid (XLA's path materializes f32 scores
-    # in HBM, ~2 ms/layer at d30 scale 9); tiny scales stay on XLA where
-    # score traffic is negligible and fusion with neighbors is worth more.
-    if jax.default_backend() in ("tpu", "axon") and Lq >= 64:
+    # in HBM, ~2 ms/layer at d30 scale 9); smaller scales measured FASTER on
+    # XLA (d30 B=16: Lq=64/100 regressed ~5/20 ms per scale under the
+    # kernel), so the gate sits above them.
+    if jax.default_backend() in ("tpu", "axon") and Lq >= 160:
         return "pallas"
     return "xla"
 

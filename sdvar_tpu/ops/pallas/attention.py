@@ -159,7 +159,6 @@ def _attention_bwd(scale, interpret, res, g):
 _attention_vjp.defvjp(_attention_fwd, _attention_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def pallas_attention(
     q: jnp.ndarray,           # (B, Lq, H, d)
     k: jnp.ndarray,           # (B, Lk, H, d)
@@ -168,4 +167,7 @@ def pallas_attention(
     scale: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    # NOT jit-wrapped: a nested jit inside the caller's scan body is a call
+    # boundary that forces canonical input/output layouts — measured as four
+    # extra per-layer HBM copies around the kernel (profile_decode).
     return _attention_vjp(q, k, v, bias, scale, interpret)

@@ -108,6 +108,10 @@ def linear_blc(x_blc: jnp.ndarray, w, dtype) -> jnp.ndarray:
         if K % 128 == 0 and N % 128 == 0 and M % 8 == 0:
             return int8_matmul_blc(x_blc.astype(dtype), qw.q, qw.scale,
                                    out_dtype=dtype)
+    # NOTE: flattening tokens to a 2-D (B*L, K) GEMM here was measured WORSE
+    # (d30 B=16: 774 vs 738 ms) — XLA emitted convolution kernels for the
+    # flattened form and re-introduced cache layout copies. Keep the 3-D
+    # einsum.
     return jnp.einsum(
         "blc,ck->blk", x_blc, resolve_weight(w, dtype),
         preferred_element_type=jnp.float32,
