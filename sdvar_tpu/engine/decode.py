@@ -73,10 +73,23 @@ def scale_step(
         x = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
         x = jnp.tile(x, (2, 1, 1)).astype(dtype)  # CFG doubling
 
+    # Odd token counts hit a pathological XLA matmul emitter (d30 scale 8:
+    # fc2 ran at 38% MFU as (B, 169, K) vs 85% at 256 — profile_decode).
+    # Pad queries up to a 64-multiple: pad rows write into the NEXT scale's
+    # cache slots, which every later scale fully overwrites before reading
+    # (kv_len at this scale stops at `ed`), so numerics are untouched.
+    n_tok = x.shape[1]
+    pad_to = -(-n_tok // 64) * 64 if n_tok > 128 else n_tok
+    pad_to = min(pad_to, state.cache.k.shape[1] - bg)  # k: (depth, L, B, C)
+    if pad_to > n_tok:
+        x = jnp.pad(x, ((0, 0), (0, pad_to - n_tok), (0, 0)))
+
     h, cache = M.apply_transformer(
         var_cfg, params, x, sos, attn_bias=None,
         cache=state.cache, cache_begin=bg, kv_len=ed, mods=mods,
     )
+    if pad_to > n_tok:
+        h = h[:, :n_tok]
     logits = M.get_logits(var_cfg, params, h, sos)  # (2B, pn^2, V) f32
 
     ratio = si / var_cfg.num_stages_minus_1

@@ -35,12 +35,17 @@ HI = jax.lax.Precision.HIGHEST
 class KVCache(NamedTuple):
     """Static-shape per-layer KV cache.
 
-    k, v: (depth, B, L_max, H*hd) — heads merged into the trailing dim so the
+    k, v: (depth, L_max, B, H*hd) — heads merged into the trailing dim so the
     last axis is a multiple of the 128-lane tile (a trailing head_dim of 64
-    would double HBM footprint via lane padding). The decode engine tracks
-    the valid length statically (scale schedule is static), so "rollback"
-    after a rejected speculative window is just not advancing the write
-    offset.
+    would double HBM footprint via lane padding), and the TOKEN axis ahead of
+    batch: XLA's layout assignment for the per-scale decode loops prefers
+    batch-minor ({3,1,2,0} on a (depth,B,L,C) array) for some query sizes
+    and token-minor for others, which inserted full-cache layout copies at
+    scale boundaries (6 x ~8 ms at d30 B=16 — see tools/profile_decode.py);
+    storing token-major makes the preferred layout THE natural layout for
+    every consumer. The decode engine tracks the valid length statically
+    (scale schedule is static), so "rollback" after a rejected speculative
+    window is just not advancing the write offset.
     """
 
     k: jnp.ndarray
@@ -50,8 +55,12 @@ class KVCache(NamedTuple):
     def create(cfg: VARConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16) -> "KVCache":
         L = max_len or cfg.L
-        shape = (cfg.depth, batch, L, cfg.num_heads * cfg.head_dim)
+        shape = (cfg.depth, L, batch, cfg.num_heads * cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[1]
 
 
 # ---------------------------------------------------------------------------
@@ -219,10 +228,10 @@ def _attention(
     """Self-attention for one block.
 
     Without cache: keys/values are the current tokens (training / prefill
-    without reuse). With cache: cache_kv is the FULL (depth, B, L_max, C)
-    pair; this layer's new KV are written in place at
-    [layer_idx, :, cache_begin:...) and attention reads keys [0, kv_len)
-    — offsets static, layer index traced (scan carry).
+    without reuse). With cache: cache_kv is the FULL (depth, L_max, B, C)
+    pair (token-major — see KVCache); this layer's new KV are written in
+    place at [layer_idx, cache_begin:..., :) and attention reads keys
+    [0, kv_len) — offsets static, layer index traced (scan carry).
 
     Returns (out, updated (ck, cv) or None).
     reference: models/basic_var.py:58-125.
@@ -248,43 +257,48 @@ def _attention(
         scale = 0.25 / math.sqrt(hd)
 
     new_cache = None
+    kv_token_major = False
     if cache_kv is not None and len(cache_kv) == 4:
-        # INT8 KV cache with per-token scales (ops/quantization.py)
+        # INT8 KV cache with per-token scales (ops/quantization.py);
+        # token-major (depth, L_max, B, C) / (depth, L_max, B)
         from sdvar_tpu.ops.quantization import dequantize_tokens, quantize_tokens
 
         ck, cv, cks, cvs = cache_kv
-        kq, kts = quantize_tokens(k.reshape(B, L, C))
-        vq, vts = quantize_tokens(v.reshape(B, L, C))
-        ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, 0, cache_begin, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, 0, cache_begin, 0))
-        cks = jax.lax.dynamic_update_slice(cks, kts[None], (layer_idx, 0, cache_begin))
-        cvs = jax.lax.dynamic_update_slice(cvs, vts[None], (layer_idx, 0, cache_begin))
+        kq, kts = quantize_tokens(k.reshape(B, L, C).transpose(1, 0, 2))
+        vq, vts = quantize_tokens(v.reshape(B, L, C).transpose(1, 0, 2))
+        ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, cache_begin, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, cache_begin, 0, 0))
+        cks = jax.lax.dynamic_update_slice(cks, kts[None], (layer_idx, cache_begin, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vts[None], (layer_idx, cache_begin, 0))
         new_cache = (ck, cv, cks, cvs)
-        ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, B, kv_len, C))[0]
-        vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, B, kv_len, C))[0]
-        kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, B, kv_len))[0]
-        vss = jax.lax.dynamic_slice(cvs, (layer_idx, 0, 0), (1, B, kv_len))[0]
-        k = dequantize_tokens(ks, kss, x.dtype).reshape(B, kv_len, H, hd)
-        v = dequantize_tokens(vs, vss, x.dtype).reshape(B, kv_len, H, hd)
+        ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
+        vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
+        kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, kv_len, B))[0]
+        vss = jax.lax.dynamic_slice(cvs, (layer_idx, 0, 0), (1, kv_len, B))[0]
+        k = dequantize_tokens(ks, kss, x.dtype).reshape(kv_len, B, H, hd)
+        v = dequantize_tokens(vs, vss, x.dtype).reshape(kv_len, B, H, hd)
+        kv_token_major = True
     elif cache_kv is not None:
-        ck, cv = cache_kv  # (depth, B, L_max, C) merged-head layout
-        km = k.reshape(B, L, C).astype(ck.dtype)[None]
-        vm = v.reshape(B, L, C).astype(cv.dtype)[None]
-        ck = jax.lax.dynamic_update_slice(ck, km, (layer_idx, 0, cache_begin, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vm, (layer_idx, 0, cache_begin, 0))
+        ck, cv = cache_kv  # (depth, L_max, B, C) token-major merged heads
+        km = k.reshape(B, L, C).transpose(1, 0, 2).astype(ck.dtype)[None]
+        vm = v.reshape(B, L, C).transpose(1, 0, 2).astype(cv.dtype)[None]
+        ck = jax.lax.dynamic_update_slice(ck, km, (layer_idx, cache_begin, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vm, (layer_idx, cache_begin, 0, 0))
         new_cache = (ck, cv)
         ks = jax.lax.dynamic_slice(
-            ck, (layer_idx, 0, 0, 0), (1, B, kv_len, C)
+            ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
         )[0]
         vs = jax.lax.dynamic_slice(
-            cv, (layer_idx, 0, 0, 0), (1, B, kv_len, C)
+            cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
         )[0]
-        k = ks.reshape(B, kv_len, H, hd).astype(x.dtype)
-        v = vs.reshape(B, kv_len, H, hd).astype(x.dtype)
+        k = ks.reshape(kv_len, B, H, hd).astype(x.dtype)
+        v = vs.reshape(kv_len, B, H, hd).astype(x.dtype)
+        kv_token_major = True
 
     from sdvar_tpu.ops.attention import attention as _attn_dispatch
 
-    out = _attn_dispatch(q, k, v, attn_bias, scale).reshape(B, L, C)
+    out = _attn_dispatch(q, k, v, attn_bias, scale,
+                         kv_token_major=kv_token_major).reshape(B, L, C)
     out = linear_blc(out, layer["proj_w"], x.dtype) \
         + layer["proj_b"].astype(x.dtype)
     return out, new_cache

@@ -44,18 +44,23 @@ def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
 def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias: Optional[jnp.ndarray], scale: float,
+    kv_token_major: bool = False,
 ) -> jnp.ndarray:
-    """q: (B, Lq, H, d); k/v: (B, Lk, H, d); bias: (Lq, Lk) or None.
-    Returns (B, Lq, H, d)."""
-    impl = get_attention_impl(q.shape[1], k.shape[1])
+    """q: (B, Lq, H, d); k/v: (B, Lk, H, d), or (Lk, B, H, d) when
+    ``kv_token_major`` (KV-cache slices are stored token-major — see
+    models/var.KVCache); bias: (Lq, Lk) or None. Returns (B, Lq, H, d)."""
+    Lk = k.shape[0] if kv_token_major else k.shape[1]
+    impl = get_attention_impl(q.shape[1], Lk)
     if impl == "pallas":
         from sdvar_tpu.ops.pallas.attention import pallas_attention
 
-        return pallas_attention(q, k, v, bias, scale)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        return pallas_attention(q, k, v, bias, scale,
+                                kv_token_major=kv_token_major)
+    kidx = "kbhd" if kv_token_major else "bkhd"
+    logits = jnp.einsum(f"bqhd,{kidx}->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)[None, None]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    return jnp.einsum(f"bhqk,{kidx}->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)

@@ -17,9 +17,9 @@ softmax + PV without leaving VMEM.
 v2 design (v1 did one (batch, head) pair per program on transposed
 (B*H, L, d) inputs — the four HBM layout transforms around the kernel cost
 more than the fusion saved):
-  - inputs stay in the model's native merged-head layout (B, L, H*hd);
-    reshaping (B, L, H, hd) <-> (B, L, C) is free, so the kernel composes
-    with the KV cache slices with ZERO transposes;
+  - inputs stay in the model's native merged-head layout: q (B, Lq, H*hd),
+    k/v (B, Lk, H*hd) or TOKEN-MAJOR (Lk, B, H*hd) exactly as the KV cache
+    stores them (models/var.KVCache) — ZERO transposes around the kernel;
   - grid (B, H / hpp) with hpp = 128 // hd heads per program, so every
     VMEM block is 128-lane aligned (a trailing dim of hd=64 would waste
     half of every lane tile);
@@ -43,15 +43,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, bias_ref=None):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, tm,
+            bias_ref=None):
     """One program: ``hpp`` heads of one batch row, merged-head blocks.
 
-    q_ref: (1, Lq, hpp*hd); k_ref/v_ref: (1, Lk, hpp*hd);
+    q_ref: (1, Lq, hpp*hd); k_ref/v_ref: (1, Lk, hpp*hd), or token-major 2-D
+    (Lk, hpp*hd) lane-blocks of the (Lk, B*C) cache view when ``tm``;
     bias_ref: (Lq, Lk) f32 or None; o_ref: (1, Lq, hpp*hd).
     """
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    k = k_ref[...] if tm else k_ref[0]
+    v = v_ref[...] if tm else v_ref[0]
     outs = []
     for j in range(hpp):
         sl = slice(j * hd, (j + 1) * hd)
@@ -74,33 +76,46 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, bias_ref=None):
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _xla_attention(q, k, v, bias, scale):
-    """Reference composition (B, Lq, H, d) — also the VJP backward path."""
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+def _xla_attention(q, k, v, bias, scale, tm=False):
+    """Reference composition — also the VJP backward path."""
+    kidx = "kbhd" if tm else "bkhd"
+    logits = jnp.einsum(f"bqhd,{kidx}->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)[None, None]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    return jnp.einsum(f"bhqk,{kidx}->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _pallas_forward(q, k, v, bias, scale: float, interpret: bool):
+def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
     B, Lq, H, hd = q.shape
-    Lk = k.shape[1]
+    Lk = k.shape[0] if tm else k.shape[1]
     hpp = max(1, 128 // hd)
     while H % hpp:
         hpp //= 2
     C = H * hd
+    blk = hpp * hd
     qm = q.reshape(B, Lq, C)
-    km = k.reshape(B, Lk, C)
-    vm = v.reshape(B, Lk, C)
+    if tm:
+        # token-major cache slices: view (Lk, B, C) as 2-D (Lk, B*C) and
+        # hand each program its (Lk, blk) lane window — TPU block rules
+        # need the last-two dims (div 8 | full, div 128), which a
+        # (Lk, 1, blk) 3-D block violates at the B axis.
+        km = k.reshape(Lk, B * C)
+        vm = v.reshape(Lk, B * C)
+        lanes_per_b = C // blk
+        kspec = pl.BlockSpec((Lk, blk),
+                             lambda b, h: (0, b * lanes_per_b + h),
+                             memory_space=pltpu.VMEM)
+    else:
+        km = k.reshape(B, Lk, C)
+        vm = v.reshape(B, Lk, C)
+        kspec = pl.BlockSpec((1, Lk, blk), lambda b, h: (b, 0, h),
+                             memory_space=pltpu.VMEM)
 
     grid = (B, H // hpp)
-    blk = hpp * hd
     qspec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, Lk, blk), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM)
@@ -109,7 +124,7 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool):
         bytes_accessed=2 * (B * Lq * C + 2 * B * Lk * C),
         transcendentals=B * H * Lq * Lk,
     )
-    kw = dict(scale=scale, hpp=hpp, hd=hd)
+    kw = dict(scale=scale, hpp=hpp, hd=hd, tm=tm)
     if bias is not None:
         bspec = pl.BlockSpec((Lq, Lk), lambda b, h: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -139,18 +154,18 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool):
     return out.reshape(B, Lq, H, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _attention_vjp(q, k, v, bias, scale, interpret):
-    return _pallas_forward(q, k, v, bias, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_vjp(q, k, v, bias, scale, interpret, tm):
+    return _pallas_forward(q, k, v, bias, scale, interpret, tm)
 
 
-def _attention_fwd(q, k, v, bias, scale, interpret):
-    return _pallas_forward(q, k, v, bias, scale, interpret), (q, k, v, bias)
+def _attention_fwd(q, k, v, bias, scale, interpret, tm):
+    return _pallas_forward(q, k, v, bias, scale, interpret, tm), (q, k, v, bias)
 
 
-def _attention_bwd(scale, interpret, res, g):
+def _attention_bwd(scale, interpret, tm, res, g):
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q, k, v, b: _xla_attention(q, k, v, b, scale),
+    _, vjp = jax.vjp(lambda q, k, v, b: _xla_attention(q, k, v, b, scale, tm),
                      q, k, v, bias)
     dq, dk, dv, db = vjp(g)
     return dq, dk, dv, db
@@ -161,13 +176,14 @@ _attention_vjp.defvjp(_attention_fwd, _attention_bwd)
 
 def pallas_attention(
     q: jnp.ndarray,           # (B, Lq, H, d)
-    k: jnp.ndarray,           # (B, Lk, H, d)
-    v: jnp.ndarray,           # (B, Lk, H, d)
+    k: jnp.ndarray,           # (B, Lk, H, d) or (Lk, B, H, d) token-major
+    v: jnp.ndarray,           # same layout as k
     bias: Optional[jnp.ndarray] = None,  # (Lq, Lk) additive, or None
     scale: float = 1.0,
     interpret: bool = False,
+    kv_token_major: bool = False,
 ) -> jnp.ndarray:
     # NOT jit-wrapped: a nested jit inside the caller's scan body is a call
     # boundary that forces canonical input/output layouts — measured as four
     # extra per-layer HBM copies around the kernel (profile_decode).
-    return _attention_vjp(q, k, v, bias, scale, interpret)
+    return _attention_vjp(q, k, v, bias, scale, interpret, kv_token_major)

@@ -125,8 +125,9 @@ def linear_blc(x_blc: jnp.ndarray, w, dtype) -> jnp.ndarray:
 class QuantizedKVCache(NamedTuple):
     """INT8 KV cache with per-token scales.
 
-    k, v:  int8 (depth, B, L, C)   [merged-head layout, lane-aligned]
-    k_s, v_s: f32 (depth, B, L)    per-token scales
+    k, v:  int8 (depth, L, B, C)   [token-major merged-head layout,
+                                    lane-aligned — see models/var.KVCache]
+    k_s, v_s: f32 (depth, L, B)    per-token scales
     """
 
     k: jnp.ndarray
@@ -140,15 +141,19 @@ class QuantizedKVCache(NamedTuple):
         L = max_len or cfg.L
         C = cfg.num_heads * cfg.head_dim
         return QuantizedKVCache(
-            k=jnp.zeros((cfg.depth, batch, L, C), jnp.int8),
-            v=jnp.zeros((cfg.depth, batch, L, C), jnp.int8),
-            k_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
-            v_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
+            k=jnp.zeros((cfg.depth, L, batch, C), jnp.int8),
+            v=jnp.zeros((cfg.depth, L, batch, C), jnp.int8),
+            k_s=jnp.ones((cfg.depth, L, batch), jnp.float32),
+            v_s=jnp.ones((cfg.depth, L, batch), jnp.float32),
         )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[1]
 
 
 def quantize_tokens(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, L, C) -> int8 values + (B, L) per-token scales."""
+    """(..., C) -> int8 values + (...) per-token scales (amax over C)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax / 127.0, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),

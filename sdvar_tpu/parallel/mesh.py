@@ -82,8 +82,9 @@ def var_param_specs(cfg: VARConfig) -> dict:
 
 
 def kv_cache_specs() -> "P":
-    """KVCache (depth, B, L, H, hd): batch over data, heads over model."""
-    return P(None, DATA, None, MODEL, None)
+    """KVCache (depth, L, B, H*hd): batch over data, merged heads over
+    model."""
+    return P(None, None, DATA, MODEL)
 
 
 def replicated_specs(tree) -> dict:

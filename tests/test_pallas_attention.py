@@ -62,6 +62,21 @@ def test_verify_window_bias_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("Lq,Lk,H", [(13, 30, 2), (9, 14, 3)])
+def test_token_major_kv_parity(Lq, Lk, H):
+    """(Lk, B, H, d) KV layout (KV-cache slices) == batch-major reference."""
+    B, d = 2, 64
+    q = _rand((B, Lq, H, d), 50)
+    k_tm, v_tm = (_rand((Lk, B, H, d), 51 + i) for i in range(2))
+    k_bm = jnp.transpose(k_tm, (1, 0, 2, 3))
+    v_bm = jnp.transpose(v_tm, (1, 0, 2, 3))
+    ref = _xla_attention(q, k_bm, v_bm, None, 0.125)
+    got = pallas_attention(q, k_tm, v_tm, None, 0.125, interpret=True,
+                           kv_token_major=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_gradients_match_xla():
     """custom_vjp backward (XLA recompute) == differentiating the XLA path."""
     B, H, d, Lq, Lk = 1, 2, 64, 6, 14
