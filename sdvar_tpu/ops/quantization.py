@@ -29,6 +29,24 @@ class QuantizedLinear(NamedTuple):
     scale: jnp.ndarray   # f32, (out,)  (or (depth, out))
 
 
+class W8A8Linear(NamedTuple):
+    """INT8 weight whose matmuls ALSO quantize the activation per token
+    (dynamic symmetric W8A8). The leaf type selects the behavior at trace
+    time; fields are identical to QuantizedLinear so checkpoints interop.
+
+    Why it is fast on TPU: the MXU runs int8 x int8 at 2x the bf16 rate
+    (v5e: 394 vs 197 TOPS). XLA reaches that path when BOTH dot operands
+    are convert(int8 -> bf16) — measured 292 vs 171 TFLOP/s effective on
+    the d30 decode GEMMs (tools/microbench_int8_matmul.py). int8 values
+    are exact in bf16 (8 mantissa bits) so the only numerics delta vs an
+    int32-exact dot is f32-accumulation rounding, which is ~1e-7 relative.
+    The naive int8 x int8 -> int32 dot is SLOWER than bf16 (167 TFLOP/s).
+    """
+
+    q: jnp.ndarray       # int8, (in, out) (or stacked (depth, in, out))
+    scale: jnp.ndarray   # f32, (out,)  (or (depth, out))
+
+
 def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedLinear:
     """Symmetric per-output-channel int8: amax over the INPUT axis."""
     amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
@@ -39,40 +57,52 @@ def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedLinear:
     return QuantizedLinear(q=q, scale=jnp.squeeze(scale, axis=axis))
 
 
-def dequantize_weight(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+def dequantize_weight(qw, dtype=jnp.bfloat16) -> jnp.ndarray:
     if qw.q.ndim == 3:
         return (qw.q.astype(jnp.float32) * qw.scale[:, None, :]).astype(dtype)
     return (qw.q.astype(jnp.float32) * qw.scale[None, :]).astype(dtype)
 
 
 WEIGHT_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w", "ada_lin_w")
+# weights whose matmuls take the W8A8 activation-quant path in "w8a8" mode.
+# ada_lin_w is excluded (tiny, precomputed once per generation); the logits
+# head is gated by ``act_head`` (extra quantization noise right before
+# sampling is the one place quality is sensitive).
+W8A8_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
 
 
 def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
-                        quantize_head: bool = True) -> Dict:
+                        quantize_head: bool = True, mode: str = "w8",
+                        act_head: bool = False) -> Dict:
     """Return a param tree where the transformer's big matmul weights are
     QuantizedLinear pairs. Embeddings/norm-side params stay fp.
 
-    The same pytree runs through the same forward code — models/var.py
-    resolves QuantizedLinear leaves via ``resolve_weight``.
+    ``mode``: "w8" = weight-only INT8 (activations bf16); "w8a8" = also
+    quantize activations per token at each block matmul (W8A8Linear leaves,
+    2x MXU rate on TPU). The same pytree runs through the same forward
+    code — models/var.py resolves quantized leaves via ``resolve_weight``.
     """
+    assert mode in ("w8", "w8a8"), mode
     out = dict(params)
     blocks = dict(params["blocks"])
     for k in keys:
         if k in blocks:
-            blocks[k] = quantize_weight(blocks[k], axis=-2)
+            qw = quantize_weight(blocks[k], axis=-2)
+            if mode == "w8a8" and k in W8A8_KEYS:
+                qw = W8A8Linear(*qw)
+            blocks[k] = qw
     out["blocks"] = blocks
     if quantize_head:
-        out["head"] = {
-            "w": quantize_weight(params["head"]["w"], axis=-2),
-            "b": params["head"]["b"],
-        }
+        hw = quantize_weight(params["head"]["w"], axis=-2)
+        if mode == "w8a8" and act_head:
+            hw = W8A8Linear(*hw)
+        out["head"] = {"w": hw, "b": params["head"]["b"]}
     return out
 
 
 def resolve_weight(w, dtype) -> jnp.ndarray:
-    """QuantizedLinear -> dequantized matrix; plain arrays pass through."""
-    if isinstance(w, QuantizedLinear):
+    """Quantized leaf -> dequantized matrix; plain arrays pass through."""
+    if isinstance(w, (QuantizedLinear, W8A8Linear)):
         return dequantize_weight(w, dtype)
     if isinstance(w, (tuple,)) and len(w) == 2 and hasattr(w[0], "dtype") \
             and w[0].dtype == jnp.int8:
@@ -83,10 +113,35 @@ def resolve_weight(w, dtype) -> jnp.ndarray:
 def _as_quantized(w) -> Optional[QuantizedLinear]:
     if isinstance(w, QuantizedLinear):
         return w
-    if isinstance(w, tuple) and len(w) == 2 and hasattr(w[0], "dtype") \
-            and w[0].dtype == jnp.int8:
+    if isinstance(w, tuple) and not isinstance(w, W8A8Linear) and len(w) == 2 \
+            and hasattr(w[0], "dtype") and w[0].dtype == jnp.int8:
         return QuantizedLinear(*w)
     return None
+
+
+def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-token INT8: (..., K) -> (int8 values,
+    f32 (..., 1) scales). |x|/scale <= 127 by construction, so no clip."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-8)
+    return jnp.round(x32 / xs).astype(jnp.int8), xs
+
+
+def w8a8_matmul(x_blc: jnp.ndarray, qw: W8A8Linear, dtype) -> jnp.ndarray:
+    """(B, L, K) @ int8 (K, N) with per-token activation quantization.
+
+    Both operands feed the MXU as convert(int8 -> bf16) with f32
+    accumulation — the pattern XLA lowers to the 2x int8 MXU path (see
+    W8A8Linear docstring). Output = acc * act_scale * weight_scale.
+    """
+    xq, xs = quantize_activation(x_blc)
+    acc = jax.lax.dot_general(
+        xq.astype(jnp.bfloat16), qw.q.astype(jnp.bfloat16),
+        (((x_blc.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc * xs * qw.scale[(None,) * (acc.ndim - 1)]).astype(dtype)
 
 
 def linear_blc(x_blc: jnp.ndarray, w, dtype) -> jnp.ndarray:
@@ -97,6 +152,8 @@ def linear_blc(x_blc: jnp.ndarray, w, dtype) -> jnp.ndarray:
     (CPU tests, odd shapes) dequantizes then matmuls. bf16/f32 weights take
     the plain einsum.
     """
+    if isinstance(w, W8A8Linear) and w.q.ndim == 2:
+        return w8a8_matmul(x_blc, w, dtype)
     qw = _as_quantized(w)
     if qw is not None and qw.q.ndim == 2 and jax.default_backend() in (
             "tpu", "axon"):

@@ -97,3 +97,60 @@ def test_quantized_weights_plus_int8_kv_runs(stack):
         kv_mode="int8",
     )
     assert np.isfinite(np.asarray(f_hat)).all()
+
+
+def test_w8a8_matmul_matches_exact_int8_reference():
+    from sdvar_tpu.ops.quantization import (
+        W8A8Linear, linear_blc, quantize_activation, quantize_weight,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32) * 0.05)
+    qw = W8A8Linear(*quantize_weight(w))
+    out = np.asarray(linear_blc(x, qw, jnp.float32))
+    # exact f32 reference of the same quantized computation
+    xq, xs = quantize_activation(x)
+    ref = (
+        jnp.einsum("blk,kn->bln", xq.astype(jnp.float32),
+                   qw.q.astype(jnp.float32))
+        * xs * qw.scale[None, None, :]
+    )
+    ref = np.asarray(ref)
+    # only f32-vs-exact accumulation order differs
+    assert np.abs(out - ref).max() <= 1e-3 * np.abs(ref).max()
+
+
+def test_w8a8_forward_close(stack):
+    vae_cfg, var_cfg, params, _ = stack
+    qparams = quantize_var_params(params, mode="w8a8")
+    from sdvar_tpu.ops.quantization import QuantizedLinear, W8A8Linear
+
+    assert isinstance(qparams["blocks"]["qkv_w"], W8A8Linear)
+    assert isinstance(qparams["blocks"]["ada_lin_w"], QuantizedLinear)
+    assert isinstance(qparams["head"]["w"], QuantizedLinear)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, var_cfg.L - 1, var_cfg.Cvae)).astype(np.float32)
+    label = jnp.array([3, 9])
+    fp = np.asarray(var_train_forward(var_cfg, params, label, x))
+    q8 = np.asarray(var_train_forward(var_cfg, qparams, label, x))
+    denom = np.abs(fp).max()
+    assert np.abs(fp - q8).max() / denom < 0.08
+    agree = (fp.argmax(-1) == q8.argmax(-1)).mean()
+    assert agree > 0.85, agree
+    # per-position logit vectors stay well aligned
+    cos = (fp * q8).sum(-1) / (
+        np.linalg.norm(fp, axis=-1) * np.linalg.norm(q8, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.98, cos.min()
+
+
+def test_w8a8_decode_runs(stack):
+    vae_cfg, var_cfg, params, quant = stack
+    qparams = quantize_var_params(params, mode="w8a8")
+    f_hat = decode_all_scales(
+        var_cfg, vae_cfg, qparams, quant, jnp.array([5]),
+        jax.random.PRNGKey(2), SamplingConfig(cfg=1.5, top_k=4), jnp.float32,
+        kv_mode="int8",
+    )
+    assert np.isfinite(np.asarray(f_hat)).all()

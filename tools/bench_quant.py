@@ -1,8 +1,8 @@
-"""Bench decode with quantization variants on the local accelerator.
+"""Quantization-mode decode benchmark sweep on the local accelerator.
 
-Usage: python tools/bench_quant.py [depth] "variant,variant,..."
-Variants: bf16 | w8 | kv8 | w8kv8, each optionally "@B" (batch), e.g.
-  python tools/bench_quant.py 30 "bf16@16,w8@16,w8kv8@32"
+Usage: python tools/bench_quant.py [depth] [batch] [modes...]
+modes from: bf16 w8 w8a8 w8a8_head, each optionally +kv8 (e.g. w8a8+kv8).
+Default: bf16 w8a8 w8a8+kv8
 """
 from __future__ import annotations
 
@@ -22,48 +22,66 @@ from sdvar_tpu.models.var import init_var_params
 from sdvar_tpu.ops.quantization import quantize_var_params
 
 depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-variants = (sys.argv[2] if len(sys.argv) > 2 else "bf16@16,w8@16,w8kv8@32"
-            ).split(",")
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+modes = sys.argv[3:] or ["bf16", "w8a8", "w8a8+kv8"]
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
 key = jax.random.PRNGKey(0)
+print(f"[q] init VAR-d{depth}...", flush=True)
 t0 = time.time()
-params_bf16 = init_var_params(var_cfg, key, dtype=jnp.bfloat16)
-qp = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1))
-params_bf16, qp = jax.device_put((params_bf16, qp))
-print(f"[bench] init {time.time()-t0:.1f}s", flush=True)
-params_w8 = None
+params = init_var_params(var_cfg, key, dtype=jnp.bfloat16)
+jax.block_until_ready(params)
+quant = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1))
+print(f"[q] init done {time.time()-t0:.0f}s", flush=True)
 
+label = jnp.arange(batch, dtype=jnp.int32) % 1000
 samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
-for spec in variants:
-    name, _, b = spec.partition("@")
-    batch = int(b) if b else 16
-    label = jnp.arange(batch, dtype=jnp.int32) % 1000
-    kv_mode = "int8" if name in ("kv8", "w8kv8") else "bf16"
-    if name in ("w8", "w8kv8"):
-        if params_w8 is None:
-            t0 = time.time()
-            params_w8 = jax.jit(quantize_var_params)(params_bf16)
-            jax.block_until_ready(params_w8)
-            print(f"[bench] quantize weights {time.time()-t0:.1f}s", flush=True)
-        params = params_w8
+
+# Prepare every mode's param tree up front, then free the bf16 originals —
+# keeping both resident costs 4 GB of HBM and OOMs the larger batches.
+prepared = {}
+for mode in modes:
+    base, _, kv = mode.partition("+")
+    if base in prepared:
+        continue
+    if base == "bf16":
+        prepared[base] = params
+    elif base == "w8":
+        prepared[base] = quantize_var_params(params)
+    elif base == "w8a8":
+        prepared[base] = quantize_var_params(params, mode="w8a8")
+    elif base == "w8a8_head":
+        prepared[base] = quantize_var_params(params, mode="w8a8",
+                                             act_head=True)
     else:
-        params = params_bf16
+        raise SystemExit(f"unknown mode {base}")
+jax.block_until_ready(prepared)
+if "bf16" not in prepared:
+    for a in jax.tree.leaves(params):
+        a.delete()
+del params
+
+for mode in modes:
+    base, _, kv = mode.partition("+")
+    kv_mode = "int8" if kv == "kv8" else "bf16"
+    p = prepared[base]
     try:
         t0 = time.time()
-        decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp,
-                          kv_mode=kv_mode).block_until_ready()
-        print(f"[bench] {spec}: compile+warmup {time.time()-t0:.1f}s",
-              flush=True)
-        times = []
-        for _ in range(4):
+        out = decode_all_scales(var_cfg, vae_cfg, p, quant, label,
+                                jax.random.PRNGKey(2), samp, jnp.bfloat16,
+                                kv_mode=kv_mode)
+        out.block_until_ready()
+        print(f"[q] {mode}: compile+run {time.time()-t0:.1f}s", flush=True)
+        best = 1e9
+        for i in range(4):
             t0 = time.time()
-            decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp,
-                              kv_mode=kv_mode).block_until_ready()
-            times.append(time.time() - t0)
-        best = min(times)
-        print(f"[bench] d{depth} {spec}: {best*1e3:.1f} ms/batch, "
+            out = decode_all_scales(var_cfg, vae_cfg, p, quant, label,
+                                    jax.random.PRNGKey(3 + i), samp,
+                                    jnp.bfloat16, kv_mode=kv_mode)
+            out.block_until_ready()
+            best = min(best, time.time() - t0)
+        print(f"[q] {mode}: {best*1e3:.1f} ms/batch, "
               f"{batch/best:.2f} img/s", flush=True)
     except Exception as e:
-        print(f"[bench] {spec} FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"[q] {mode}: FAILED {type(e).__name__}: {e}", flush=True)

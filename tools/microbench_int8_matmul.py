@@ -1,0 +1,86 @@
+"""Microbench: which int8 matmul formulation hits the v5e int8 MXU path
+(394 TOPS, 2x bf16 peak)?
+
+Measured findings (v5e-1, d30 decode GEMM shapes, B=32 CFG-doubled):
+  - bf16 einsum:                        ~171 TFLOP/s (87% of bf16 peak)
+  - int8 x int8 -> int32 dot_general:   ~167 TOP/s  (SLOWER than bf16 --
+    the exact-int32 accumulation path does not use the fast int8 MXU mode)
+  - convert(int8->bf16) both operands, f32 accumulation: ~292 TFLOP/s
+    (the int8 MXU path; int8 is exact in bf16, only f32-accum rounding)
+  - W8A8 end-to-end (per-token act quant + fast dot + rescale): 1.2-1.4x
+    per-GEMM vs bf16 (quantization costs VPU+HBM, fused by XLA).
+
+Timing methodology: ITERS chained matmuls inside ONE jitted fori_loop with a
+scalar data dependency folded back into the carry (defeats DCE/hoisting),
+and the result fetched to host (block_until_ready alone returned early
+through the axon tunnel for this program shape).
+
+Usage: python tools/microbench_int8_matmul.py
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
+
+ITERS = 100
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def loop(x, wq, ws, w_bf, mode):
+    def body(i, x):
+        if mode == "bf16":
+            y = jnp.einsum("blc,ck->blk", x, w_bf,
+                           preferred_element_type=jnp.float32)
+        elif mode == "int8_int32":
+            xq = x.astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, wq, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        elif mode == "w8a8":
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            xs = jnp.maximum(amax / 127.0, 1e-8)
+            xq = jnp.round(x.astype(jnp.float32) / xs).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            y = acc * xs * ws[None, None, :]
+        s = (jnp.mean(y) * 1e-9).astype(x.dtype)
+        return x + s[None, None, None]
+
+    return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x))
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    B, C = 32, 1920
+    for (L, K, N, tag) in [
+        (256, C, 4 * C, "fc1 s9"),
+        (256, 4 * C, C, "fc2 s9"),
+        (256, C, 3 * C, "qkv s9"),
+        (192, 4 * C, C, "fc2 s8"),
+        (64, C, 4 * C, "fc1 s5"),
+        (256, C, 4096, "head s9"),
+    ]:
+        x = jax.random.normal(key, (B, L, K), jnp.bfloat16)
+        wq = jax.random.randint(key, (K, N), -127, 128, jnp.int8)
+        ws = jnp.full((N,), 0.01, jnp.float32)
+        w_bf = (wq.astype(jnp.float32) * ws[None, :]).astype(jnp.bfloat16)
+        fl = 2 * B * L * K * N * ITERS
+        row = f"{tag:8s} L={L:4d} K={K:5d} N={N:5d}:"
+        for mode in ("bf16", "int8_int32", "w8a8"):
+            float(loop(x, wq, ws, w_bf, mode))  # warmup (+ forces fetch)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                float(loop(x, wq, ws, w_bf, mode))
+                best = min(best, time.time() - t0)
+            row += f"  {mode} {best/ITERS*1e3:6.3f}ms({fl/best/1e12:5.1f}T)"
+        print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()
