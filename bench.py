@@ -41,7 +41,8 @@ def _enable_compile_cache():
         log(f"[bench] compile cache unavailable: {e}")
 
 
-def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16"):
+def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
+                 w8a8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +63,15 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16"):
     jax.block_until_ready(params)
     log(f"[bench] init done in {time.time()-t0:.0f}s")
     quant = init_quantizer_params(vae_cfg, key, eini=1.0)
+    if w8a8:
+        from sdvar_tpu.ops.quantization import WEIGHT_KEYS, quantize_var_params
+
+        qparams = quantize_var_params(params, mode="w8a8")
+        for k in WEIGHT_KEYS:  # free the replaced fp weights (HBM headroom)
+            if k in params["blocks"]:
+                params["blocks"][k].delete()
+        params["head"]["w"].delete()
+        params = qparams
     label = jnp.zeros((batch,), jnp.int32)
     samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
 
@@ -80,7 +90,8 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16"):
         times.append(time.time() - t0)
     best = min(times)
     ips = batch / best
-    log(f"[bench] d{depth} B={batch}: {best*1000:.1f} ms/batch, "
+    mode = "w8a8" if w8a8 else dtype_name
+    log(f"[bench] d{depth} B={batch} {mode}: {best*1000:.1f} ms/batch, "
         f"{ips:.3f} img/s (times={['%.3f' % t for t in times]})")
     return ips
 
@@ -105,6 +116,12 @@ def main():
             "vs_baseline": round(ips / (A100_D30_IMGS_PER_SEC / 0.4), 3),
         }))
         return
+    try:  # diagnostic secondary config: W8A8 dynamic-int8 decode
+        ips_w8a8 = bench_decode(depth, 16, w8a8=True)
+        log(f"[bench] secondary: d30 B=16 w8a8 {ips_w8a8:.2f} img/s "
+            f"({ips_w8a8 / A100_D30_IMGS_PER_SEC:.1f}x baseline)")
+    except Exception as e:
+        log(f"[bench] w8a8 secondary failed: {type(e).__name__}: {e}")
     print(json.dumps({
         "metric": "VAR-d30 256px images/sec (baseline CFG decode, bf16)",
         "value": round(ips, 3),

@@ -34,9 +34,14 @@ def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
     # auto: the merged-layout Pallas kernel wins on TPU once the query block
     # is big enough to amortize the grid (XLA's path materializes f32 scores
     # in HBM, ~2 ms/layer at d30 scale 9); smaller scales measured FASTER on
-    # XLA (d30 B=16: Lq=64/100 regressed ~5/20 ms per scale under the
-    # kernel), so the gate sits above them.
-    if jax.default_backend() in ("tpu", "axon") and Lq >= 160:
+    # XLA (d30 B=16: Lq=100 regressed ~20 ms per scale under the kernel), so
+    # the gate sits above them — EXCEPT Lq=64, where XLA's einsum flips the
+    # whole KV cache to a batch-minor layout for that one scale's while loop
+    # and pays four full-cache layout copies (~31 ms at d30 B=16, plus two
+    # cache-sized HLO temps that OOM B>=24). The Pallas kernel pins the
+    # natural token-major layout, so it wins there even though the kernel
+    # itself is slightly slower than XLA's attention at that size.
+    if jax.default_backend() in ("tpu", "axon") and (Lq >= 160 or Lq == 64):
         return "pallas"
     return "xla"
 

@@ -58,8 +58,14 @@ for mode in modes:
         raise SystemExit(f"unknown mode {base}")
 jax.block_until_ready(prepared)
 if "bf16" not in prepared:
-    for a in jax.tree.leaves(params):
-        a.delete()
+    # free ONLY the replaced fp weights (quantize_var_params shares every
+    # other leaf with the original tree by reference)
+    from sdvar_tpu.ops.quantization import WEIGHT_KEYS
+
+    for k in WEIGHT_KEYS:
+        if k in params["blocks"]:
+            params["blocks"][k].delete()
+    params["head"]["w"].delete()
 del params
 
 for mode in modes:
