@@ -135,6 +135,10 @@ def w8a8_matmul(x_blc: jnp.ndarray, qw: W8A8Linear, dtype) -> jnp.ndarray:
     accumulation — the pattern XLA lowers to the 2x int8 MXU path (see
     W8A8Linear docstring). Output = acc * act_scale * weight_scale.
     """
+    # NOTE: XLA sinks the int8->bf16 convert into the producer fusion and
+    # materializes the quantized activation as bf16; forcing int8
+    # materialization with an optimization_barrier was measured NEUTRAL
+    # (538 vs 533 ms d30 B=16), so leave XLA's choice alone.
     xq, xs = quantize_activation(x_blc)
     acc = jax.lax.dot_general(
         xq.astype(jnp.bfloat16), qw.q.astype(jnp.bfloat16),

@@ -22,6 +22,7 @@ from sdvar_tpu.models.var import init_var_params
 depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/decode_d{depth}_b{batch}.hlo.txt"
+w8a8 = "w8a8" in sys.argv[4:]
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
@@ -29,6 +30,11 @@ vae_cfg = VQVAEConfig()
 # eval_shape-style AOT: build abstract params, no giant init
 params = jax.eval_shape(lambda k: init_var_params(var_cfg, k, dtype=jnp.bfloat16),
                         jax.random.PRNGKey(0))
+if w8a8:
+    from sdvar_tpu.ops.quantization import quantize_var_params
+
+    params = jax.eval_shape(
+        lambda p: quantize_var_params(p, mode="w8a8"), params)
 qp = jax.eval_shape(lambda k: init_quantizer_params(vae_cfg, k),
                     jax.random.PRNGKey(1))
 label = jax.ShapeDtypeStruct((batch,), jnp.int32)

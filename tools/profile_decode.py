@@ -25,10 +25,12 @@ from sdvar_tpu.models.var import init_var_params
 
 depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-if len(sys.argv) > 3:
-    from sdvar_tpu.ops.attention import set_attention_impl
+w8a8 = "w8a8" in sys.argv[3:]
+for a in sys.argv[3:]:
+    if a in ("xla", "pallas"):
+        from sdvar_tpu.ops.attention import set_attention_impl
 
-    set_attention_impl(sys.argv[3])
+        set_attention_impl(a)
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
@@ -39,6 +41,16 @@ params = init_var_params(var_cfg, key, dtype=jnp.bfloat16)
 qp = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1))
 params = jax.device_put(params)
 qp = jax.device_put(qp)
+if w8a8:
+    from sdvar_tpu.ops.quantization import WEIGHT_KEYS, quantize_var_params
+
+    qparams = quantize_var_params(params, mode="w8a8")
+    for k in WEIGHT_KEYS:
+        if k in params["blocks"]:
+            params["blocks"][k].delete()
+    params["head"]["w"].delete()
+    params = qparams
+    print("[prof] using w8a8 params", flush=True)
 print(f"[prof] init done in {time.time()-t0:.1f}s", flush=True)
 
 label = jnp.arange(batch, dtype=jnp.int32) % 1000
