@@ -79,6 +79,13 @@ def build_engine(args) -> SpeculativeEngine:
         vae_params = {"quant": init_quantizer_params(
             vae_cfg, jax.random.fold_in(key, 3), eini=1.0
         )}
+    if getattr(args, "quant", "none") != "none":
+        from sdvar_tpu.ops.quantization import quantize_var_params
+
+        mode = {"w8": "w8", "w8a8": "w8a8"}[args.quant]
+        draft_params = quantize_var_params(draft_params, mode=mode)
+        target_params = quantize_var_params(target_params, mode=mode)
+        print(f"[bench-cli] quantized draft+target weights: {args.quant}")
     return SpeculativeEngine(
         vae_cfg, draft_cfg, target_cfg, vae_params, draft_params,
         target_params, dtype=dtype,
@@ -228,6 +235,9 @@ def main():
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--quant", choices=["none", "w8", "w8a8"], default="none",
+                    help="INT8 weight-only (w8) or weight+activation (w8a8) "
+                         "quantization of both models")
     # notebook classes (sdvar_colab_test.py:88-129)
     ap.add_argument("--labels", type=int, nargs="+",
                     default=[980, 437, 22, 562, 980, 437, 22, 562])
