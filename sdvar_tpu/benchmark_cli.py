@@ -193,6 +193,61 @@ def mode_quality(eng: SpeculativeEngine, args):
     return row
 
 
+def mode_quant(eng: SpeculativeEngine, args):
+    """Quantization-quality probe: target-only decode under bf16 vs
+    quantized weights (w8/w8a8) with the SAME seed — token agreement over
+    all 680 sampled ids, latent MSE, and wall-clock for both. Build the
+    engine WITHOUT --quant; this mode quantizes internally. With model-zoo
+    checkpoints this is the cheap stand-in for the FID-delta gate
+    (BASELINE.json: FID delta <= 0.1); with random weights only the
+    mechanics are exercised."""
+    from sdvar_tpu.ops.quantization import quantize_var_params
+
+    samp = benchmark_config(args)
+    labels = jnp.asarray(args.labels[: args.batch])
+    key = jax.random.PRNGKey(args.seed)
+
+    def run(params):
+        f_hat, ids = decode_all_scales(
+            eng.target_cfg, eng.vae_cfg, params, eng.quant_params,
+            labels, key, samp, eng.dtype, return_ids=True,
+        )
+        jax.block_until_ready((f_hat, ids))
+        t0 = time.time()
+        f_hat, ids = decode_all_scales(
+            eng.target_cfg, eng.vae_cfg, params, eng.quant_params,
+            labels, key, samp, eng.dtype, return_ids=True,
+        )
+        jax.block_until_ready((f_hat, ids))
+        return f_hat, np.asarray(ids), time.time() - t0
+
+    base_fhat, base_ids, base_dt = run(eng.target_params)
+    rows = []
+    for mode in ("w8", "w8a8"):
+        qp = quantize_var_params(eng.target_params, mode=mode)
+        q_fhat, q_ids, q_dt = run(qp)
+        agree = float((q_ids == base_ids).mean())
+        # agreement per scale shows where quantization noise bites
+        pns = eng.target_cfg.patch_nums
+        off, per_scale = 0, []
+        for pn in pns:
+            per_scale.append(
+                round(float((q_ids[:, off:off + pn * pn]
+                             == base_ids[:, off:off + pn * pn]).mean()), 3))
+            off += pn * pn
+        rows.append({
+            "quant": mode,
+            "token_agreement_vs_bf16": round(agree, 4),
+            "per_scale_agreement": per_scale,
+            "latent_mse_vs_bf16": round(
+                float(jnp.mean((q_fhat - base_fhat) ** 2)), 6),
+            "sec_bf16": round(base_dt, 4), "sec_quant": round(q_dt, 4),
+            "speedup": round(base_dt / q_dt, 3),
+        })
+        print(json.dumps(rows[-1]))
+    return rows
+
+
 def mode_handoff(eng: SpeculativeEngine, args):
     """sd_mask 0..5 x entry_num ablation (models/var.py:777-824)."""
     samp = benchmark_config(args)
@@ -221,7 +276,7 @@ def mode_handoff(eng: SpeculativeEngine, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["gamma", "seqspec", "quality",
-                                       "handoff"], default="gamma")
+                                       "handoff", "quant"], default="gamma")
     ap.add_argument("--depth-draft", type=int, default=16)
     ap.add_argument("--depth-target", type=int, default=30)
     ap.add_argument("--patch-nums", dest="patch_nums", type=str,
@@ -247,7 +302,7 @@ def main():
     args = ap.parse_args()
 
     eng = build_engine(args)
-    {"gamma": mode_gamma, "seqspec": mode_seq_vs_spec,
+    {"gamma": mode_gamma, "seqspec": mode_seq_vs_spec, "quant": mode_quant,
      "quality": mode_quality, "handoff": mode_handoff}[args.mode](eng, args)
 
 
