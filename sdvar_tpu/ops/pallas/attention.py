@@ -100,6 +100,20 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
             hpp = h
     C = H * hd
     blk = hpp * hd
+    # Block the query axis so the per-head f32 score tile (blkq, Lk) stays
+    # well under the ~16 MB scoped-VMEM budget (at 512px Lq=1024/Lk=2240 an
+    # unblocked tile is 9.2 MB and the kernel stack OOMs). Largest divisor
+    # of Lq that keeps the tile <= 4 MB, capped at 256.
+    blkq = Lq
+    if Lq * Lk * 4 > 4 * 1024 * 1024 or Lq > 256:
+        best = 8
+        for d in range(8, min(Lq, 256) + 1, 8):
+            if Lq % d == 0 and d * Lk * 4 <= 4 * 1024 * 1024:
+                best = d
+        blkq = best
+        if Lq % blkq:
+            return _xla_attention(q, k, v, bias, scale, tm)
+    nq = Lq // blkq
     qm = q.reshape(B, Lq, C)
     if tm:
         # token-major cache slices: view (Lk, B, C) as 2-D (Lk, B*C) and
@@ -110,18 +124,18 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
         vm = v.reshape(Lk, B * C)
         lanes_per_b = C // blk
         kspec = pl.BlockSpec((Lk, blk),
-                             lambda b, h: (0, b * lanes_per_b + h),
+                             lambda b, h, i: (0, b * lanes_per_b + h),
                              memory_space=pltpu.VMEM)
     else:
         km = k.reshape(B, Lk, C)
         vm = v.reshape(B, Lk, C)
-        kspec = pl.BlockSpec((1, Lk, blk), lambda b, h: (b, 0, h),
+        kspec = pl.BlockSpec((1, Lk, blk), lambda b, h, i: (b, 0, h),
                              memory_space=pltpu.VMEM)
 
-    grid = (B, H // hpp)
-    qspec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
+    grid = (B, H // hpp, nq)
+    qspec = pl.BlockSpec((1, blkq, blk), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, Lq, blk), lambda b, h: (b, 0, h),
+    ospec = pl.BlockSpec((1, blkq, blk), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * 2 * B * H * Lq * Lk * hd,
@@ -130,7 +144,7 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
     )
     kw = dict(scale=scale, hpp=hpp, hd=hd, tm=tm)
     if bias is not None:
-        bspec = pl.BlockSpec((Lq, Lk), lambda b, h: (0, 0),
+        bspec = pl.BlockSpec((blkq, Lk), lambda b, h, i: (i, 0),
                              memory_space=pltpu.VMEM)
 
         def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref):

@@ -110,3 +110,38 @@ def test_bf16_inputs():
         np.asarray(ref, np.float32), np.asarray(got, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_query_blocking_large_lq():
+    # Lq > 256 triggers the q-axis grid blocking (512px-preset shapes)
+    B, H, d, Lq, Lk = 1, 2, 64, 320, 400
+    q, k, v = (_rand((B, L, H, d), 40 + i) for i, L in enumerate((Lq, Lk, Lk)))
+    ref = _xla_attention(q, k, v, None, 0.125)
+    got = pallas_attention(q, k, v, None, 0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_query_blocking_with_bias():
+    B, H, d, Lq, Lk = 1, 2, 64, 320, 320
+    q, k, v = (_rand((B, L, H, d), 50 + i) for i, L in enumerate((Lq, Lk, Lk)))
+    bias = jnp.asarray(
+        np.where(np.random.default_rng(5).random((Lq, Lk)) < 0.3,
+                 -np.inf, 0.0).astype(np.float32))
+    ref = _xla_attention(q, k, v, bias, 0.125)
+    got = pallas_attention(q, k, v, bias, 0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_query_blocking_token_major():
+    B, H, d, Lq, Lk = 2, 2, 64, 320, 416
+    q = _rand((B, Lq, H, d), 60)
+    k = _rand((Lk, B, H, d), 61)
+    v = _rand((Lk, B, H, d), 62)
+    ref = _xla_attention(q, k.transpose(1, 0, 2, 3), v.transpose(1, 0, 2, 3),
+                         None, 0.125)
+    got = pallas_attention(q, k, v, None, 0.125, interpret=True,
+                           kv_token_major=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)

@@ -112,3 +112,33 @@ print(f"[prof] total device op time: {total:.1f} ms (may double-count nesting)")
 print(f"\n{'ms':>10}  {'n':>5}  op")
 for name, ms in sorted(bytime.items(), key=lambda kv: -kv[1])[:45]:
     print(f"{ms:10.2f}  {count[name]:5d}  {name[:110]}")
+
+# Hierarchical attribution: for each while.N (a scale's layer scan), sum the
+# device ops whose time window falls inside it (same pid; strictly nested).
+whiles = []
+ops = []
+for e in events:
+    if e.get("ph") != "X":
+        continue
+    pname = pid_names.get(e.get("pid"), "")
+    if "TPU" not in pname and "device" not in pname.lower():
+        continue
+    name = e.get("name", "?")
+    ts, dur = e.get("ts", 0), e.get("dur", 0)
+    if name.startswith("while."):
+        whiles.append((name, ts, ts + dur, dur))
+    elif not name.startswith("jit_"):
+        ops.append((name, ts, ts + dur, dur))
+
+for wname, w0, w1, wdur in sorted(whiles, key=lambda w: -w[3])[:4]:
+    inner = defaultdict(float)
+    icount = defaultdict(int)
+    for name, t0_, t1_, dur in ops:
+        if t0_ >= w0 and t1_ <= w1:
+            inner[name] += dur / 1e3
+            icount[name] += 1
+    tot = sum(inner.values())
+    print(f"\n[prof] inside {wname} ({wdur/1e3:.1f} ms; children sum "
+          f"{tot:.1f} ms):")
+    for name, ms in sorted(inner.items(), key=lambda kv: -kv[1])[:14]:
+        print(f"  {ms:8.2f}  {icount[name]:4d}  {name[:100]}")
