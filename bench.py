@@ -42,7 +42,7 @@ def _enable_compile_cache():
 
 
 def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
-                 w8a8: bool = False):
+                 w8a8: bool = False, kv_mode: str = "bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,7 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
     from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
     from sdvar_tpu.engine.decode import decode_all_scales
     from sdvar_tpu.models.quantizer import init_quantizer_params
-    from sdvar_tpu.models.var import init_var_params
+    from sdvar_tpu.models.var import KVCache, init_var_params
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     var_cfg = VARConfig(depth=depth)
@@ -75,22 +75,33 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
     label = jnp.zeros((batch,), jnp.int32)
     samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
 
+    def make_cache():
+        if kv_mode == "int8":
+            from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+            return QuantizedKVCache.create(var_cfg, 2 * batch)
+        return KVCache.create(var_cfg, 2 * batch)
+
+    cache = make_cache()  # reused (donated) across calls: serving hot loop
     t0 = time.time()
-    f_hat = decode_all_scales(var_cfg, vae_cfg, params, quant, label,
-                              jax.random.PRNGKey(1), samp, dtype)
+    f_hat, cache = decode_all_scales(
+        var_cfg, vae_cfg, params, quant, label, jax.random.PRNGKey(1), samp,
+        dtype, kv_mode=kv_mode, cache=cache, return_cache=True)
     jax.block_until_ready(f_hat)
     log(f"[bench] d{depth} compile+first run: {time.time()-t0:.1f}s")
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        f_hat = decode_all_scales(var_cfg, vae_cfg, params, quant, label,
-                                  jax.random.PRNGKey(2 + i), samp, dtype)
+        f_hat, cache = decode_all_scales(
+            var_cfg, vae_cfg, params, quant, label, jax.random.PRNGKey(2 + i),
+            samp, dtype, kv_mode=kv_mode, cache=cache, return_cache=True)
         jax.block_until_ready(f_hat)
         times.append(time.time() - t0)
     best = min(times)
     ips = batch / best
-    mode = "w8a8" if w8a8 else dtype_name
+    mode = ("w8a8" if w8a8 else dtype_name) + (
+        f"+kv_{kv_mode}" if kv_mode != "bf16" else "")
     log(f"[bench] d{depth} B={batch} {mode}: {best*1000:.1f} ms/batch, "
         f"{ips:.3f} img/s (times={['%.3f' % t for t in times]})")
     return ips
@@ -98,14 +109,22 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
 
 def main():
     depth = 30
+    # headline = BASELINE.json config #3: W8A8 INT8 weights + INT8 KV cache
+    # (per-token dynamic activation quant on the 2x int8 MXU path; dequant
+    # fused into the Pallas attention kernel). Quality gate: token agreement
+    # vs bf16 per benchmark_cli --mode quant (BENCHMARKS.md).
     ips = None
-    for batch in (16, 8, 2):
+    mode = "W8A8 + INT8-KV decode"
+    for batch, w8a8, kv in ((16, True, "int8"), (16, False, "bf16"),
+                            (8, False, "bf16"), (2, False, "bf16")):
         try:
-            ips = bench_decode(depth, batch)
+            ips = bench_decode(depth, batch, w8a8=w8a8, kv_mode=kv)
+            if not w8a8:
+                mode = "baseline CFG decode, bf16"
             break
-        except Exception as e:  # OOM or platform issue: fall back smaller
-            log(f"[bench] d30 B={batch} failed ({type(e).__name__}: {e}); "
-                f"retrying smaller")
+        except Exception as e:  # OOM or platform issue: fall back
+            log(f"[bench] d30 B={batch} {'w8a8' if w8a8 else 'bf16'} failed "
+                f"({type(e).__name__}: {e}); retrying next config")
     if ips is None:
         log("[bench] d30 failed entirely; falling back to d16")
         ips = bench_decode(16, 8)
@@ -116,14 +135,14 @@ def main():
             "vs_baseline": round(ips / (A100_D30_IMGS_PER_SEC / 0.4), 3),
         }))
         return
-    try:  # diagnostic secondary config: W8A8 dynamic-int8 decode
-        ips_w8a8 = bench_decode(depth, 16, w8a8=True)
-        log(f"[bench] secondary: d30 B=16 w8a8 {ips_w8a8:.2f} img/s "
-            f"({ips_w8a8 / A100_D30_IMGS_PER_SEC:.1f}x baseline)")
+    try:  # diagnostic secondary config: plain bf16 decode
+        ips_bf16 = bench_decode(depth, 16)
+        log(f"[bench] secondary: d30 B=16 bf16 {ips_bf16:.2f} img/s "
+            f"({ips_bf16 / A100_D30_IMGS_PER_SEC:.1f}x baseline)")
     except Exception as e:
-        log(f"[bench] w8a8 secondary failed: {type(e).__name__}: {e}")
+        log(f"[bench] bf16 secondary failed: {type(e).__name__}: {e}")
     print(json.dumps({
-        "metric": "VAR-d30 256px images/sec (baseline CFG decode, bf16)",
+        "metric": f"VAR-d30 256px images/sec ({mode})",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_D30_IMGS_PER_SEC, 3),

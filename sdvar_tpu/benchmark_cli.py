@@ -207,25 +207,25 @@ def mode_quant(eng: SpeculativeEngine, args):
     labels = jnp.asarray(args.labels[: args.batch])
     key = jax.random.PRNGKey(args.seed)
 
-    def run(params):
+    def run(params, kv_mode="bf16"):
         f_hat, ids = decode_all_scales(
             eng.target_cfg, eng.vae_cfg, params, eng.quant_params,
-            labels, key, samp, eng.dtype, return_ids=True,
+            labels, key, samp, eng.dtype, return_ids=True, kv_mode=kv_mode,
         )
         jax.block_until_ready((f_hat, ids))
         t0 = time.time()
         f_hat, ids = decode_all_scales(
             eng.target_cfg, eng.vae_cfg, params, eng.quant_params,
-            labels, key, samp, eng.dtype, return_ids=True,
+            labels, key, samp, eng.dtype, return_ids=True, kv_mode=kv_mode,
         )
         jax.block_until_ready((f_hat, ids))
         return f_hat, np.asarray(ids), time.time() - t0
 
     base_fhat, base_ids, base_dt = run(eng.target_params)
     rows = []
-    for mode in ("w8", "w8a8"):
+    for mode, kv_mode in (("w8", "bf16"), ("w8a8", "bf16"), ("w8a8", "int8")):
         qp = quantize_var_params(eng.target_params, mode=mode)
-        q_fhat, q_ids, q_dt = run(qp)
+        q_fhat, q_ids, q_dt = run(qp, kv_mode=kv_mode)
         agree = float((q_ids == base_ids).mean())
         # agreement per scale shows where quantization noise bites
         pns = eng.target_cfg.patch_nums
@@ -236,7 +236,7 @@ def mode_quant(eng: SpeculativeEngine, args):
                              == base_ids[:, off:off + pn * pn]).mean()), 3))
             off += pn * pn
         rows.append({
-            "quant": mode,
+            "quant": mode + ("+int8kv" if kv_mode == "int8" else ""),
             "token_agreement_vs_bf16": round(agree, 4),
             "per_scale_agreement": per_scale,
             "latent_mse_vs_bf16": round(

@@ -75,6 +75,7 @@ class GenerationServer:
         self.dtype = dtype
         self.kv_mode = kv_mode
 
+        self._caches: Dict[int, object] = {}  # per-bucket reused KV caches
         self._q: "queue.Queue[Request]" = queue.Queue()
         self._results: Dict[int, Result] = {}
         self._results_cv = threading.Condition()
@@ -152,11 +153,27 @@ class GenerationServer:
             seeds[i] = np.uint32(r.seed)
         keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
 
-        f_hat = decode_all_scales(
+        # per-bucket KV cache, donated + reclaimed each batch: steady-state
+        # decode allocates nothing and skips the cache zero-init (~8.5 ms
+        # at d30) — the scheduler thread owns the only handle.
+        cache = self._caches.pop(bsz, None)
+        if cache is None:
+            if self.kv_mode == "int8":
+                from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+                cache = QuantizedKVCache.create(self.var_cfg, 2 * bsz)
+            else:
+                from sdvar_tpu.models.var import KVCache
+
+                cache = KVCache.create(self.var_cfg, 2 * bsz,
+                                       dtype=self.dtype)
+        f_hat, cache = decode_all_scales(
             self.var_cfg, self.vae_cfg, self.var_params,
             self.vae_params["quant"], jnp.asarray(labels), keys,
             self.samp, self.dtype, kv_mode=self.kv_mode,
+            cache=cache, return_cache=True,
         )
+        self._caches[bsz] = cache
         imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
         imgs = np.asarray((imgs + 1.0) * 0.5)
 

@@ -256,28 +256,43 @@ def _attention(
     else:
         scale = 0.25 / math.sqrt(hd)
 
+    from sdvar_tpu.ops.attention import attention as _attn_dispatch
+    from sdvar_tpu.ops.attention import use_cache_kernel
+
     new_cache = None
     kv_token_major = False
+    kv_scales = None
+    out = None
     if cache_kv is not None and len(cache_kv) == 4:
         # INT8 KV cache with per-token scales (ops/quantization.py);
-        # token-major (depth, L_max, B, C) / (depth, L_max, B)
-        from sdvar_tpu.ops.quantization import dequantize_tokens, quantize_tokens
+        # values token-major (depth, L_max, B, C), scales batch-major
+        # (depth, B, L_max). Dequant happens INSIDE the attention kernel.
+        from sdvar_tpu.ops.quantization import quantize_tokens
 
         ck, cv, cks, cvs = cache_kv
         kq, kts = quantize_tokens(k.reshape(B, L, C).transpose(1, 0, 2))
         vq, vts = quantize_tokens(v.reshape(B, L, C).transpose(1, 0, 2))
         ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, cache_begin, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, cache_begin, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, kts[None], (layer_idx, cache_begin, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vts[None], (layer_idx, cache_begin, 0))
+        cks = jax.lax.dynamic_update_slice(cks, kts.T[None], (layer_idx, 0, cache_begin))
+        cvs = jax.lax.dynamic_update_slice(cvs, vts.T[None], (layer_idx, 0, cache_begin))
         new_cache = (ck, cv, cks, cvs)
-        ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
-        vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
-        kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, kv_len, B))[0]
-        vss = jax.lax.dynamic_slice(cvs, (layer_idx, 0, 0), (1, kv_len, B))[0]
-        k = dequantize_tokens(ks, kss, x.dtype).reshape(kv_len, B, H, hd)
-        v = dequantize_tokens(vs, vss, x.dtype).reshape(kv_len, B, H, hd)
-        kv_token_major = True
+        if use_cache_kernel():
+            from sdvar_tpu.ops.pallas.attention import pallas_attention_cache
+
+            out = pallas_attention_cache(
+                q, ck, cv, layer_idx, kv_len, attn_bias, scale,
+                kv_scales=(cks, cvs),
+            )
+        if out is None:
+            ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
+            vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
+            kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, B, kv_len))[0]
+            vss = jax.lax.dynamic_slice(cvs, (layer_idx, 0, 0), (1, B, kv_len))[0]
+            k = ks.reshape(kv_len, B, H, hd)
+            v = vs.reshape(kv_len, B, H, hd)
+            kv_scales = (kss.T, vss.T)
+            kv_token_major = True
     elif cache_kv is not None:
         ck, cv = cache_kv  # (depth, L_max, B, C) token-major merged heads
         km = k.reshape(B, L, C).transpose(1, 0, 2).astype(ck.dtype)[None]
@@ -285,20 +300,34 @@ def _attention(
         ck = jax.lax.dynamic_update_slice(ck, km, (layer_idx, cache_begin, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, vm, (layer_idx, cache_begin, 0, 0))
         new_cache = (ck, cv)
-        ks = jax.lax.dynamic_slice(
-            ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
-        )[0]
-        vs = jax.lax.dynamic_slice(
-            cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
-        )[0]
-        k = ks.reshape(kv_len, B, H, hd).astype(x.dtype)
-        v = vs.reshape(kv_len, B, H, hd).astype(x.dtype)
-        kv_token_major = True
+        # sliced-operand pallas forces a full copy of the slice per layer;
+        # the full-cache kernel DMAs from the cache directly. Only where the
+        # dispatch would pick pallas anyway (XLA fuses the slice itself).
+        from sdvar_tpu.ops.attention import get_attention_impl
 
-    from sdvar_tpu.ops.attention import attention as _attn_dispatch
+        if use_cache_kernel() and get_attention_impl(L, kv_len) == "pallas":
+            from sdvar_tpu.ops.pallas.attention import pallas_attention_cache
 
-    out = _attn_dispatch(q, k, v, attn_bias, scale,
-                         kv_token_major=kv_token_major).reshape(B, L, C)
+            out = pallas_attention_cache(
+                q.astype(x.dtype), ck, cv, layer_idx, kv_len, attn_bias,
+                scale,
+            )
+        if out is None:
+            ks = jax.lax.dynamic_slice(
+                ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
+            )[0]
+            vs = jax.lax.dynamic_slice(
+                cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
+            )[0]
+            k = ks.reshape(kv_len, B, H, hd).astype(x.dtype)
+            v = vs.reshape(kv_len, B, H, hd).astype(x.dtype)
+            kv_token_major = True
+
+    if out is None:
+        out = _attn_dispatch(q, k, v, attn_bias, scale,
+                             kv_token_major=kv_token_major,
+                             kv_scales=kv_scales)
+    out = out.reshape(B, L, C)
     out = linear_blc(out, layer["proj_w"], x.dtype) \
         + layer["proj_b"].astype(x.dtype)
     return out, new_cache

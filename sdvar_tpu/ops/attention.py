@@ -28,6 +28,28 @@ def set_attention_impl(impl: str) -> None:
     _IMPL = impl
 
 
+_CACHE_KERNEL = False
+
+
+def set_cache_kernel(on: bool) -> None:
+    global _CACHE_KERNEL
+    _CACHE_KERNEL = on
+
+
+def use_cache_kernel() -> bool:
+    """Whether the full-cache Pallas kernel (pallas_attention_cache) is used
+    for KV-cached attention. OFF by default: it avoids the per-layer slice
+    copy by reading the stacked cache via a scalar-prefetched layer index,
+    but a pallas_call operand is a custom call XLA cannot alias-analyze, so
+    the scan-carried cache loses its in-place update and gets copied
+    wholesale every layer — measured 1870 vs 533 ms (bf16 KV) and 2951 vs
+    507 ms (int8 KV) on d30 B=16. Kept behind this switch (and under test)
+    as the building block for a future in-kernel cache-write design with
+    input_output_aliases, which is what would make it profitable."""
+    return (_CACHE_KERNEL and _IMPL != "xla"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
     if _IMPL != "auto":
         return _IMPL
@@ -50,11 +72,29 @@ def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias: Optional[jnp.ndarray], scale: float,
     kv_token_major: bool = False,
+    kv_scales=None,
 ) -> jnp.ndarray:
     """q: (B, Lq, H, d); k/v: (B, Lk, H, d), or (Lk, B, H, d) when
     ``kv_token_major`` (KV-cache slices are stored token-major — see
-    models/var.KVCache); bias: (Lq, Lk) or None. Returns (B, Lq, H, d)."""
+    models/var.KVCache); bias: (Lq, Lk) or None. Returns (B, Lq, H, d).
+
+    ``kv_scales``: ((Lk, B), (Lk, B)) f32 per-token scales when k/v are INT8
+    KV-cache slices. On TPU the dequant fuses into the Pallas kernel (int8
+    never materializes as bf16 in HBM); elsewhere dequant happens here."""
     Lk = k.shape[0] if kv_token_major else k.shape[1]
+    if kv_scales is not None:
+        # always the Pallas kernel on TPU: the XLA path would write a full
+        # dequantized bf16 copy of the cache slice per layer (measured
+        # 798 vs 533 ms on w8a8 d30 B=16 — BENCHMARKS.md)
+        if _IMPL != "xla" and jax.default_backend() in ("tpu", "axon"):
+            from sdvar_tpu.ops.pallas.attention import pallas_attention
+
+            return pallas_attention(q, k, v, bias, scale,
+                                    kv_token_major=kv_token_major,
+                                    kv_scales=kv_scales)
+        from sdvar_tpu.ops.pallas.attention import _dequant_kv
+
+        k, v = _dequant_kv(k, v, kv_scales, q.dtype)
     impl = get_attention_impl(q.shape[1], Lk)
     if impl == "pallas":
         from sdvar_tpu.ops.pallas.attention import pallas_attention

@@ -44,23 +44,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, tm,
-            bias_ref=None):
+            bias_ref=None, ks_ref=None, vs_ref=None):
     """One program: ``hpp`` heads of one batch row, merged-head blocks.
 
     q_ref: (1, Lq, hpp*hd); k_ref/v_ref: (1, Lk, hpp*hd), or token-major 2-D
     (Lk, hpp*hd) lane-blocks of the (Lk, B*C) cache view when ``tm``;
     bias_ref: (Lq, Lk) f32 or None; o_ref: (1, Lq, hpp*hd).
+
+    ks_ref/vs_ref: optional (B, Lk) f32 per-token INT8 KV dequant scales
+    (full plane; the program reads its batch row b). When set,
+    k/v blocks are int8 and dequantization is FUSED: scores pick up the key
+    scale per column AFTER the q.k_q dot (s_ij = scale*(q_i.kq_j)*ks_j), and
+    the value scale folds into the probabilities before the p.v_q dot —
+    int8 never round-trips through HBM as bf16 (ops/quantization.py's XLA
+    path materializes the full dequantized cache slice every layer).
     """
     q = q_ref[0]
     k = k_ref[...] if tm else k_ref[0]
     v = v_ref[...] if tm else v_ref[0]
+    b = pl.program_id(0)
+    ks = ks_ref[pl.ds(b, 1), :] if ks_ref is not None else None  # (1, Lk)
+    vs = vs_ref[pl.ds(b, 1), :] if vs_ref is not None else None
     outs = []
     for j in range(hpp):
         sl = slice(j * hd, (j + 1) * hd)
+        kj = k[:, sl]
+        if kj.dtype == jnp.int8:
+            kj = kj.astype(q.dtype)  # int8 exact in bf16
         s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            q[:, sl], kj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        if ks is not None:
+            s = s * ks  # (1, Lk) broadcast over query rows
         if bias_ref is not None:
             s = s + bias_ref[...]
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -69,11 +85,25 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, tm,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = p / jnp.maximum(l, 1e-30)
+        if vs is not None:
+            p = p * vs
+        vj = v[:, sl]
+        pv_dtype = q.dtype if vj.dtype == jnp.int8 else vj.dtype
         outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            p.astype(pv_dtype), vj.astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _dequant_kv(k, v, kv_scales, dtype):
+    """XLA-fallback dequant of token-major int8 KV: k/v (Lk, B, H, hd) int8,
+    scales (Lk, B) f32 -> bf16/f32 tensors."""
+    k_s, v_s = kv_scales
+    k = (k.astype(jnp.float32) * k_s[:, :, None, None]).astype(dtype)
+    v = (v.astype(jnp.float32) * v_s[:, :, None, None]).astype(dtype)
+    return k, v
 
 
 def _xla_attention(q, k, v, bias, scale, tm=False):
@@ -88,7 +118,8 @@ def _xla_attention(q, k, v, bias, scale, tm=False):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
+def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool,
+                    kv_scales=None):
     B, Lq, H, hd = q.shape
     Lk = k.shape[0] if tm else k.shape[1]
     # heads per program: largest h <= 8 dividing H whose merged lane block
@@ -112,6 +143,8 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
                 best = d
         blkq = best
         if Lq % blkq:
+            if kv_scales is not None:
+                k, v = _dequant_kv(k, v, kv_scales, q.dtype)
             return _xla_attention(q, k, v, bias, scale, tm)
     nq = Lq // blkq
     qm = q.reshape(B, Lq, C)
@@ -143,32 +176,211 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool):
         transcendentals=B * H * Lq * Lk,
     )
     kw = dict(scale=scale, hpp=hpp, hd=hd, tm=tm)
-    if bias is not None:
-        bspec = pl.BlockSpec((blkq, Lk), lambda b, h, i: (i, 0),
+    inputs = [qm, km, vm]
+    in_specs = [qspec, kspec, kspec]
+    arg_names = []
+    if kv_scales is not None:
+        # per-token INT8 dequant scales: (Lk, B) -> (B, Lk), whole plane per
+        # program (a (1, Lk) block would violate the sublane-divisibility
+        # rule at small B); the kernel slices its batch row.
+        k_s, v_s = kv_scales
+        sspec = pl.BlockSpec((B, Lk), lambda b, h, i: (0, 0),
                              memory_space=pltpu.VMEM)
+        inputs += [k_s.T.astype(jnp.float32), v_s.T.astype(jnp.float32)]
+        in_specs += [sspec, sspec]
+        arg_names += ["ks_ref", "vs_ref"]
+    if bias is not None:
+        inputs.append(bias.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((blkq, Lk), lambda b, h, i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        arg_names.append("bias_ref")
 
-        def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref):
-            _kernel(q_ref, k_ref, v_ref, o_ref, bias_ref=b_ref, **kw)
+    def _entry(q_ref, k_ref, v_ref, *rest):
+        extra = dict(zip(arg_names, rest[:-1]))
+        _kernel(q_ref, k_ref, v_ref, rest[-1], **extra, **kw)
 
-        out = pl.pallas_call(
-            _kernel_bias,
-            grid=grid,
-            in_specs=[qspec, kspec, kspec, bspec],
-            out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qm, km, vm, bias.astype(jnp.float32))
-    else:
-        out = pl.pallas_call(
-            functools.partial(_kernel, **kw),
-            grid=grid,
-            in_specs=[qspec, kspec, kspec],
-            out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qm, km, vm)
+    out = pl.pallas_call(
+        _entry,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(B, Lq, H, hd)
+
+
+def _cache_kernel(li_ref, q_ref, k_ref, v_ref, *rest, scale, hpp, hd,
+                  Lk, Lk_pad, has_scales, has_bias):
+    """Full-cache variant: k_ref/v_ref are (1, Lk_pad, blk) blocks DMA'd
+    straight out of the (depth, L_max, B*C) cache at the scalar-prefetched
+    layer index — the cache slice never materializes as an XLA temp (the
+    sliced-operand form costs a full copy per layer around the kernel:
+    ~20 ms/decode at d30 B=16 — see BENCHMARKS.md). Rows beyond the live
+    kv_len are masked with -inf (Lk_pad rounds kv_len up to a sublane
+    multiple; slots there hold zeros or stale tokens, never read uninit).
+
+    rest: [ks_ref, vs_ref] (1, B, L_max) f32 if has_scales, then [bias_ref]
+    (blkq, Lk_pad) f32 if has_bias, then o_ref (1, blkq, blk).
+    """
+    del li_ref  # consumed by the index_maps
+    it = iter(rest)
+    ks_ref = next(it) if has_scales else None
+    vs_ref = next(it) if has_scales else None
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    b = pl.program_id(0)
+    ks = vs = None
+    if ks_ref is not None:
+        # extract batch row b without a dynamic ref index (Mosaic rejects
+        # dynamic sublane loads at unaligned lane offsets): mask+reduce over
+        # the (B, L_max) plane — B*L_max VPU adds, negligible.
+        def _row(ref):
+            plane = ref[0]  # (B, L_max)
+            rowmask = jax.lax.broadcasted_iota(
+                jnp.int32, plane.shape, 0) == b
+            row = jnp.sum(jnp.where(rowmask, plane, 0.0), axis=0,
+                          keepdims=True)  # (1, L_max)
+            return row[:, :Lk_pad]
+
+        ks = _row(ks_ref)
+        vs = _row(vs_ref)
+    pad_mask = None
+    if Lk_pad > Lk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
+        pad_mask = col >= Lk
+    outs = []
+    for j in range(hpp):
+        sl = slice(j * hd, (j + 1) * hd)
+        kj = k[:, sl]
+        if kj.dtype == jnp.int8:
+            kj = kj.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q[:, sl], kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if ks is not None:
+            s = s * ks
+        if bias_ref is not None:
+            s = s + bias_ref[...]
+        if pad_mask is not None:
+            s = jnp.where(pad_mask, -jnp.inf, s)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(l, 1e-30)
+        if vs is not None:
+            p = p * vs
+        vj = v[:, sl]
+        pv_dtype = q.dtype if vj.dtype == jnp.int8 else vj.dtype
+        outs.append(jax.lax.dot_general(
+            p.astype(pv_dtype), vj.astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def pallas_attention_cache(
+    q: jnp.ndarray,            # (B, Lq, H, hd)
+    cache_k: jnp.ndarray,      # (depth, L_max, B, C) bf16/f32/int8
+    cache_v: jnp.ndarray,
+    layer_idx: jnp.ndarray,    # traced int32 scalar (scan carry)
+    kv_len: int,               # static live length
+    bias: Optional[jnp.ndarray] = None,   # (Lq, kv_len) additive
+    scale: float = 1.0,
+    kv_scales=None,            # ((depth, B, L_max), (depth, B, L_max)) f32
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Attention over a layer-stacked KV cache without slicing it first.
+
+    Returns None if the shape doesn't fit the kernel's tiling rules (caller
+    falls back to slice + regular paths). Inference-only (no VJP).
+    """
+    B, Lq, H, hd = q.shape
+    depth, Lmax = cache_k.shape[0], cache_k.shape[1]
+    C = H * hd
+    hpp = 1
+    for h in range(2, 9):
+        if H % h == 0 and (h * hd) % 128 == 0:
+            hpp = h
+    blk = hpp * hd
+    Lk = kv_len
+    Lk_pad = min(-(-Lk // 8) * 8, Lmax)
+    if Lk_pad < Lk:
+        return None
+    blkq = Lq
+    if Lq * Lk_pad * 4 > 4 * 1024 * 1024 or Lq > 256:
+        best = None
+        for d in range(8, min(Lq, 256) + 1, 8):
+            if Lq % d == 0 and d * Lk_pad * 4 <= 4 * 1024 * 1024:
+                best = d
+        if best is None:
+            return None
+        blkq = best
+    nq = Lq // blkq
+
+    qm = q.reshape(B, Lq, C)
+    km = cache_k.reshape(depth, Lmax, B * C)
+    vm = cache_v.reshape(depth, Lmax, B * C)
+    lanes_per_b = C // blk
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    qspec = pl.BlockSpec((1, blkq, blk),
+                         lambda b, h, i, li_ref: (b, i, h),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(
+        (1, Lk_pad, blk),
+        # depth offset in units of the block (=1 layer); row block 0 covers
+        # [0, Lk_pad); lane block = this (batch, head-group) window
+        lambda b, h, i, li_ref: (li_ref[0], 0, b * lanes_per_b + h),
+        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, blkq, blk),
+                         lambda b, h, i, li_ref: (b, i, h),
+                         memory_space=pltpu.VMEM)
+    inputs = [qm, km, vm]
+    in_specs = [qspec, kspec, kspec]
+    if kv_scales is not None:
+        k_s, v_s = kv_scales
+        sspec = pl.BlockSpec((1, B, Lmax),
+                             lambda b, h, i, li_ref: (li_ref[0], 0, 0),
+                             memory_space=pltpu.VMEM)
+        inputs += [k_s, v_s]
+        in_specs += [sspec, sspec]
+    if bias is not None:
+        bpad = jnp.pad(bias.astype(jnp.float32),
+                       ((0, 0), (0, Lk_pad - Lk)))
+        inputs.append(bpad)
+        in_specs.append(pl.BlockSpec((blkq, Lk_pad),
+                                     lambda b, h, i, li_ref: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // hpp, nq),
+        in_specs=in_specs,
+        out_specs=ospec,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * H * Lq * Lk_pad * hd,
+        bytes_accessed=(2 * B * Lq * C
+                        + 2 * B * Lk_pad * C * cache_k.dtype.itemsize),
+        transcendentals=B * H * Lq * Lk_pad,
+    )
+    out = pl.pallas_call(
+        functools.partial(_cache_kernel, scale=scale, hpp=hpp, hd=hd,
+                          Lk=Lk, Lk_pad=Lk_pad,
+                          has_scales=kv_scales is not None,
+                          has_bias=bias is not None),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(li, *inputs)
     return out.reshape(B, Lq, H, hd)
 
 
@@ -200,8 +412,14 @@ def pallas_attention(
     scale: float = 1.0,
     interpret: bool = False,
     kv_token_major: bool = False,
+    kv_scales=None,                      # ((Lk, B), (Lk, B)) f32 when k/v int8
 ) -> jnp.ndarray:
     # NOT jit-wrapped: a nested jit inside the caller's scan body is a call
     # boundary that forces canonical input/output layouts — measured as four
     # extra per-layer HBM copies around the kernel (profile_decode).
+    if kv_scales is not None:
+        # INT8 KV is inference-only (decode caches are not differentiated)
+        assert kv_token_major, "int8 KV cache slices are token-major"
+        return _pallas_forward(q, k, v, bias, scale, interpret, True,
+                               kv_scales=kv_scales)
     return _attention_vjp(q, k, v, bias, scale, interpret, kv_token_major)

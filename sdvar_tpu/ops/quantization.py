@@ -188,7 +188,10 @@ class QuantizedKVCache(NamedTuple):
 
     k, v:  int8 (depth, L, B, C)   [token-major merged-head layout,
                                     lane-aligned — see models/var.KVCache]
-    k_s, v_s: f32 (depth, L, B)    per-token scales
+    k_s, v_s: f32 (depth, B, L)    per-token scales, batch-major so the
+                                   Pallas cache kernel can take the whole
+                                   (B, L) plane per layer as one block
+                                   (ops/pallas/attention.pallas_attention_cache)
     """
 
     k: jnp.ndarray
@@ -204,8 +207,8 @@ class QuantizedKVCache(NamedTuple):
         return QuantizedKVCache(
             k=jnp.zeros((cfg.depth, L, batch, C), jnp.int8),
             v=jnp.zeros((cfg.depth, L, batch, C), jnp.int8),
-            k_s=jnp.ones((cfg.depth, L, batch), jnp.float32),
-            v_s=jnp.ones((cfg.depth, L, batch), jnp.float32),
+            k_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
+            v_s=jnp.ones((cfg.depth, batch, L), jnp.float32),
         )
 
     @property

@@ -77,6 +77,82 @@ def test_token_major_kv_parity(Lq, Lk, H):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("Lq,Lk,H,with_bias", [
+    (13, 30, 2, False), (9, 14, 3, False), (13, 30, 2, True),
+    (320, 416, 2, False),   # query-blocked path
+])
+def test_int8_kv_fused_dequant(Lq, Lk, H, with_bias):
+    """Fused in-kernel INT8 KV dequant == dequantize-then-attend reference."""
+    from sdvar_tpu.ops.quantization import quantize_tokens
+
+    B, d = 2, 64
+    q = _rand((B, Lq, H, d), 70)
+    k_tm, v_tm = (_rand((Lk, B, H, d), 71 + i) for i in range(2))
+    kq, ks = quantize_tokens(k_tm.reshape(Lk, B, H * d))
+    vq, vs = quantize_tokens(v_tm.reshape(Lk, B, H * d))
+    k_deq = (kq.astype(jnp.float32) * ks[..., None]).reshape(Lk, B, H, d)
+    v_deq = (vq.astype(jnp.float32) * vs[..., None]).reshape(Lk, B, H, d)
+    bias = None
+    if with_bias:
+        bias = jnp.asarray(
+            np.where(np.random.default_rng(7).random((Lq, Lk)) < 0.3,
+                     -np.inf, 0.0).astype(np.float32))
+    ref = _xla_attention(q, k_deq.transpose(1, 0, 2, 3),
+                         v_deq.transpose(1, 0, 2, 3), bias, 0.125)
+    got = pallas_attention(
+        q, kq.reshape(Lk, B, H, d), vq.reshape(Lk, B, H, d), bias, 0.125,
+        interpret=True, kv_token_major=True, kv_scales=(ks, vs))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kv_len,Lq,int8,with_bias", [
+    (14, 9, False, False),    # kv_len padded 14->16
+    (30, 16, False, True),    # padded 30->32, with additive bias
+    (29, 8, True, False),     # int8 + fused scales, padded 29->32
+    (40, 8, True, True),
+])
+def test_full_cache_kernel(kv_len, Lq, int8, with_bias):
+    """pallas_attention_cache (scalar-prefetched layer index, in-kernel
+    kv_len masking, optional fused INT8 dequant) == slice-then-attend."""
+    from sdvar_tpu.ops.pallas.attention import pallas_attention_cache
+    from sdvar_tpu.ops.quantization import quantize_tokens
+
+    depth, Lmax, B, H, d = 3, 48, 2, 2, 64
+    li = 1
+    q = _rand((B, Lq, H, d), 80)
+    if int8:
+        kf = _rand((depth, Lmax, B, H * d), 81)
+        vf = _rand((depth, Lmax, B, H * d), 82)
+        kq, ks = quantize_tokens(kf)   # (depth, Lmax, B, C), (depth, Lmax, B)
+        vq, vs = quantize_tokens(vf)
+        ck, cv = kq.reshape(depth, Lmax, B, H, d), vq.reshape(depth, Lmax, B, H, d)
+        k_deq = (kq.astype(jnp.float32) * ks[..., None])[li, :kv_len]
+        v_deq = (vq.astype(jnp.float32) * vs[..., None])[li, :kv_len]
+        kv_scales = (ks.transpose(0, 2, 1), vs.transpose(0, 2, 1))
+    else:
+        ck = _rand((depth, Lmax, B, H, d), 81)
+        cv = _rand((depth, Lmax, B, H, d), 82)
+        k_deq = ck[li, :kv_len].reshape(kv_len, B, H * d)
+        v_deq = cv[li, :kv_len].reshape(kv_len, B, H * d)
+        kv_scales = None
+    bias = None
+    if with_bias:
+        bias = jnp.asarray(
+            np.where(np.random.default_rng(9).random((Lq, kv_len)) < 0.3,
+                     -np.inf, 0.0).astype(np.float32))
+    ref = _xla_attention(
+        q, k_deq.reshape(kv_len, B, H, d).transpose(1, 0, 2, 3),
+        v_deq.reshape(kv_len, B, H, d).transpose(1, 0, 2, 3), bias, 0.125)
+    got = pallas_attention_cache(
+        q, ck.reshape(depth, Lmax, B, H * d).reshape(depth, Lmax, B, H, d),
+        cv, jnp.asarray(li, jnp.int32), kv_len, bias, 0.125,
+        kv_scales=kv_scales, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_gradients_match_xla():
     """custom_vjp backward (XLA recompute) == differentiating the XLA path."""
     B, H, d, Lq, Lk = 1, 2, 64, 6, 14
