@@ -1,8 +1,15 @@
 """VAR-d36 512px decode benchmark (model-zoo config: shared AdaLN, L=2240).
 
 Usage: python tools/bench_512.py [batch] [modes...]   (default: 4 bf16 w8a8)
+Modes: bf16 | w8a8 | w8a8-int8kv (INT8 KV cache + donated-cache reuse).
 """
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import sys
 import time
@@ -34,27 +41,41 @@ print(f"[512] init {time.time()-t0:.0f}s", flush=True)
 label = jnp.arange(batch, dtype=jnp.int32) % 1000
 samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
 
+quantized = None
 for mode in modes:
-    if mode == "w8a8":
-        p = quantize_var_params(params, mode="w8a8")
-        for k in WEIGHT_KEYS:
-            if k in params["blocks"]:
-                params["blocks"][k].delete()
-        params["head"]["w"].delete()
+    if mode.startswith("w8a8"):
+        if quantized is None:
+            quantized = quantize_var_params(params, mode="w8a8")
+            for k in WEIGHT_KEYS:
+                if k in params["blocks"]:
+                    params["blocks"][k].delete()
+            params["head"]["w"].delete()
+        p = quantized
     else:
         p = params
+    kv_mode = "int8" if mode.endswith("int8kv") else "bf16"
     try:
+        if kv_mode == "int8":
+            from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+            cache = QuantizedKVCache.create(var_cfg, 2 * batch)
+        else:
+            from sdvar_tpu.models.var import KVCache
+
+            cache = KVCache.create(var_cfg, 2 * batch)
         t0 = time.time()
-        out = decode_all_scales(var_cfg, vae_cfg, p, quant, label,
-                                jax.random.PRNGKey(2), samp, jnp.bfloat16)
+        out, cache = decode_all_scales(
+            var_cfg, vae_cfg, p, quant, label, jax.random.PRNGKey(2), samp,
+            jnp.bfloat16, kv_mode=kv_mode, cache=cache, return_cache=True)
         out.block_until_ready()
         print(f"[512] {mode}: compile+run {time.time()-t0:.1f}s", flush=True)
         best = 1e9
         for i in range(3):
             t0 = time.time()
-            out = decode_all_scales(var_cfg, vae_cfg, p, quant, label,
-                                    jax.random.PRNGKey(3 + i), samp,
-                                    jnp.bfloat16)
+            out, cache = decode_all_scales(
+                var_cfg, vae_cfg, p, quant, label, jax.random.PRNGKey(3 + i),
+                samp, jnp.bfloat16, kv_mode=kv_mode, cache=cache,
+                return_cache=True)
             out.block_until_ready()
             best = min(best, time.time() - t0)
         print(f"[512] d36-512 {mode} B={batch}: {best*1e3:.1f} ms/batch, "

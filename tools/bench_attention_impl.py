@@ -4,6 +4,12 @@ Usage: python tools/bench_attention_impl.py {xla|pallas} [depth] [batch]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -5,6 +5,12 @@ Usage: python tools/dump_hlo.py [depth] [batch] [out.txt]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

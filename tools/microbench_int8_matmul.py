@@ -17,6 +17,12 @@ through the axon tunnel for this program shape).
 
 Usage: python tools/microbench_int8_matmul.py
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -2,6 +2,12 @@
 
 Usage: python tools/microbench_matmul.py
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax
