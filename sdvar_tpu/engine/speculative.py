@@ -243,6 +243,70 @@ def _target_prefill_handoff(
     return DecodeState(f_hat=f_hat, next_map=next_map, cache=cache), ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("var_cfg", "vae_cfg", "seen", "cur", "samp", "dtype"),
+)
+def _takeover_generate(
+    var_cfg: VARConfig, vae_cfg: VQVAEConfig, params, quant_params,
+    seen: int, cur: int,
+    cache: M.KVCache, sos, lvl_pos,
+    hub: Tuple[jnp.ndarray, ...],   # continuous maps feeding scales
+                                    # seen..cur (scale 0 needs none)
+    f_hat: jnp.ndarray,
+    key, samp: SamplingConfig, dtype,
+):
+    """Mid-sequence takeover: one forward that PREFILLS scales [seen, cur)
+    (re-embedded with THIS model's word_embed — the handoff trick,
+    reference: models/var.py:740-762) and GENERATES scale ``cur`` from the
+    final slice, under the block-causal window mask. Generalizes the
+    from-zero handoff prefill to any starting point, which is what the
+    reference's archived warmup/t-d-t experiments needed
+    (tmp/var copy.py:776,1049-1066)."""
+    pns = var_cfg.patch_nums
+    B2 = sos.shape[0]
+    B = B2 // 2
+    gamma = cur - seen + 1
+
+    qs = []
+    for j, k in enumerate(range(seen, cur + 1)):
+        bg, ed = var_cfg.begin_ends[k]
+        if k == 0:
+            q = (sos[:, None, :] + jnp.asarray(params["pos_start"])[None]
+                 + lvl_pos[None, : var_cfg.first_l]).astype(dtype)
+        else:
+            nm = hub[j - 1] if seen == 0 else hub[j]
+            pn = pns[k]
+            nm = nm.reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
+            q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
+            q = jnp.tile(q, (2, 1, 1)).astype(dtype)
+        qs.append(q)
+    x = jnp.concatenate(qs, axis=1)
+
+    bg0 = var_cfg.begin_ends[seen][0]
+    kv_len = var_cfg.begin_ends[cur][1]
+    bias = jnp.asarray(verify_window_bias(pns, seen, gamma, kv_len))
+    h, cache = M.apply_transformer(
+        var_cfg, params, x, sos, attn_bias=bias,
+        cache=cache, cache_begin=bg0, kv_len=kv_len,
+        mods=M.precompute_modulations(var_cfg, params, sos),
+    )
+    sbg, sed = var_cfg.begin_ends[cur]
+    logits = M.get_logits(var_cfg, params, h[:, sbg - bg0: sed - bg0], sos)
+
+    ratio = cur / var_cfg.num_stages_minus_1
+    mixed = cfg_mix(logits, samp.cfg * ratio)
+    skey = jax.random.fold_in(key, cur)
+    ids = sample_with_top_k_top_p(mixed, skey, samp.top_k, samp.top_p)
+    h_BlC = Q.embed(quant_params, ids)
+    pn = pns[cur]
+    h_BChw = h_BlC.transpose(0, 2, 1).reshape(B, var_cfg.Cvae, pn, pn)
+    f_hat, next_map = Q.next_autoregressive_input(
+        vae_cfg, quant_params, cur, f_hat, h_BChw
+    )
+    return DecodeState(f_hat=f_hat, next_map=next_map, cache=cache), ids
+
+
 @functools.partial(jax.jit, static_argnames=("var_cfg", "vae_cfg", "si",))
 def _apply_tokens(var_cfg, vae_cfg, quant_params, si, f_hat, ids):
     """Token ids of scale si -> (f_hat', next continuous map)."""
@@ -503,6 +567,78 @@ class SpeculativeEngine:
             )
             stats.target_calls += 1
         return state.f_hat, stats
+
+    def generate_phased(
+        self, label_B: jnp.ndarray, key: jax.Array,
+        schedule: Tuple[Tuple[str, int], ...],
+        samp: SamplingConfig = SamplingConfig(),
+    ) -> Tuple[jnp.ndarray, SpecStats]:
+        """Multi-phase generation over an arbitrary (model, num_scales)
+        schedule — the generalization of the reference's archived handoff
+        experiments (SURVEY.md §2.1 #24): sd_test3 = (draft e)(target S-e),
+        _sd_warmup = (target w)(draft ...), _sd_tdt = (target)(draft)(target)
+        (reference: tmp/var copy.py:776,1049-1066). Each takeover re-embeds
+        the unseen continuous-feature prefix with the incoming model's own
+        word_embed and prefills+generates in ONE forward; continuation
+        scales run KV-cached decode. Quantizer state (f_hat / continuous
+        maps) is model-independent, exactly like the reference's
+        draft_token_hub of pre-word_embed features (models/var.py:712-713).
+
+        schedule: e.g. (("target", 2), ("draft", 5), ("target", 3)); counts
+        must sum to the number of scales.
+        """
+        S = self.num_scales
+        assert sum(n for _, n in schedule) == S, schedule
+        assert all(m in ("draft", "target") and n > 0 for m, n in schedule)
+        stats = SpecStats()
+
+        models = {
+            "draft": (self.draft_cfg, self.draft_params, DRAFT_STREAM),
+            "target": (self.target_cfg, self.target_params, TARGET_STREAM),
+        }
+        # per-model decode state: (DecodeState, sos, lvl, mods, seen_scales)
+        ctx: Dict[str, list] = {}
+        maps: List[jnp.ndarray] = []   # maps[k] = continuous map feeding k+1
+        f_hat = None
+
+        cur = 0
+        for phase_model, count in schedule:
+            cfg, params, stream = models[phase_model]
+            if phase_model not in ctx:
+                state, sos, lvl = init_decode(cfg, params, label_B, self.dtype)
+                mods = _precompute_mods(cfg, params, sos)
+                ctx[phase_model] = [state, sos, lvl, mods, 0]
+            state, sos, lvl, mods, seen = ctx[phase_model]
+            if f_hat is not None:
+                state = DecodeState(f_hat=f_hat, next_map=state.next_map,
+                                    cache=state.cache)
+            mkey = jax.random.fold_in(key, stream)
+
+            first = cur
+            if cur > seen or (cur == seen and cur > 0):
+                # prefill unseen scales [seen, cur) + generate scale cur
+                hub = tuple(maps[max(seen - 1, 0): cur])
+                state, ids = _takeover_generate(
+                    cfg, self.vae_cfg, params, self.quant_params,
+                    seen, cur, state.cache, sos, lvl, hub,
+                    state.f_hat, mkey, samp, self.dtype,
+                )
+                stats.target_calls += int(phase_model == "target")
+                stats.draft_calls += int(phase_model == "draft")
+                maps.append(state.next_map)
+                first = cur + 1
+            for si in range(first, cur + count):
+                state, ids = _draft_scale_step(
+                    cfg, self.vae_cfg, params, self.quant_params, si,
+                    state, sos, lvl, mkey, samp, self.dtype, mods=mods,
+                )
+                stats.target_calls += int(phase_model == "target")
+                stats.draft_calls += int(phase_model == "draft")
+                maps.append(state.next_map)
+            cur += count
+            f_hat = state.f_hat
+            ctx[phase_model] = [state, sos, lvl, mods, cur]
+        return f_hat, stats
 
     def decode_image(self, f_hat: jnp.ndarray) -> jnp.ndarray:
         from sdvar_tpu.models import vqvae as VQ

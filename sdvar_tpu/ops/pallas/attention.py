@@ -84,16 +84,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, hpp, hd, tm,
         m = jnp.maximum(m, -1e30)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.maximum(l, 1e-30)
         if vs is not None:
             p = p * vs
         vj = v[:, sl]
         pv_dtype = q.dtype if vj.dtype == jnp.int8 else vj.dtype
-        outs.append(jax.lax.dot_general(
+        o = jax.lax.dot_general(
             p.astype(pv_dtype), vj.astype(pv_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        )
+        # normalize AFTER the PV dot: (Lq, hd) divides instead of (Lq, Lk)
+        # — Lk/hd ~ 10x fewer VPU divide ops, identical math (1/l commutes
+        # with the contraction; only f32 rounding order changes)
+        outs.append(o / jnp.maximum(l, 1e-30))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -273,16 +276,16 @@ def _cache_kernel(li_ref, q_ref, k_ref, v_ref, *rest, scale, hpp, hd,
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / jnp.maximum(l, 1e-30)
         if vs is not None:
             p = p * vs
         vj = v[:, sl]
         pv_dtype = q.dtype if vj.dtype == jnp.int8 else vj.dtype
-        outs.append(jax.lax.dot_general(
+        o = jax.lax.dot_general(
             p.astype(pv_dtype), vj.astype(pv_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        )
+        outs.append(o / jnp.maximum(l, 1e-30))  # normalize post-dot (see _kernel)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 

@@ -133,3 +133,29 @@ def test_speculative_deterministic(stack):
     b, sb = eng.generate_speculative(label, key, SpeculativeConfig(gamma=2), samp)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert sa.as_dict() == sb.as_dict()
+
+
+@pytest.mark.parametrize("schedule", [
+    (("draft", 2), ("target", 2)),                  # == sd_test3 handoff
+    (("target", 1), ("draft", 2), ("target", 1)),   # _sd_tdt 3-phase
+    (("target", 2), ("draft", 2)),                  # _sd_warmup
+    (("draft", 1), ("target", 1), ("draft", 1), ("target", 1)),
+])
+def test_phased_selfdraft_greedy_equals_baseline(stack, schedule):
+    """generate_phased (generalized warmup/t-d-t handoff schedules,
+    reference tmp/var copy.py:776,1049-1066): with greedy sampling and
+    draft == target the output must equal the baseline decode for EVERY
+    schedule — any takeover-prefill positional/mask bug breaks this."""
+    vae_cfg, var_cfg, var_params, _, vae_params = stack
+    eng = _engine(stack, var_params)  # draft == target
+    samp = SamplingConfig(cfg=1.5, top_k=1)
+    label = jnp.asarray([1, 2], jnp.int32)
+    key = jax.random.PRNGKey(7)
+    base = decode_all_scales(
+        var_cfg, vae_cfg, var_params, vae_params["quant"], label, key, samp,
+        jnp.float32,
+    )
+    f_hat, stats = eng.generate_phased(label, key, schedule, samp)
+    assert stats.target_calls + stats.draft_calls >= len(PNS)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(f_hat),
+                               rtol=2e-4, atol=2e-4)

@@ -32,6 +32,7 @@ from sdvar_tpu.models.var import init_var_params
 depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 w8a8 = "w8a8" in sys.argv[3:]
+kv_mode = "int8" if "int8kv" in sys.argv[3:] else "bf16"
 for a in sys.argv[3:]:
     if a in ("xla", "pallas"):
         from sdvar_tpu.ops.attention import set_attention_impl
@@ -64,19 +65,19 @@ samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
 
 print("[prof] compile + warmup...", flush=True)
 t0 = time.time()
-out = decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp)
+out = decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp, kv_mode=kv_mode)
 out.block_until_ready()
 print(f"[prof] warmup done in {time.time()-t0:.1f}s", flush=True)
 
 for _ in range(2):
     t0 = time.time()
-    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp).block_until_ready()
+    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp, kv_mode=kv_mode).block_until_ready()
     print(f"[prof] steady-state: {time.time()-t0*1:.3f}s".replace("-", " "), flush=True)
     print(f"[prof] rep {time.time()-t0:.3f}s", flush=True)
 
 logdir = "/tmp/sdvar_prof"
 with jax.profiler.trace(logdir):
-    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp).block_until_ready()
+    decode_all_scales(var_cfg, vae_cfg, params, qp, label, key, samp, kv_mode=kv_mode).block_until_ready()
 
 # find the newest trace json
 cands = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
