@@ -82,12 +82,19 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
             return QuantizedKVCache.create(var_cfg, 2 * batch)
         return KVCache.create(var_cfg, 2 * batch)
 
+    def sync(x):
+        # force a device->host scalar transfer: under the axon remote
+        # backend, block_until_ready can return before Pallas-terminated
+        # programs finish (measured 0.5 "ms" for a 470 ms decode); pulling
+        # a reduction to host is the reliable completion barrier.
+        return float(jnp.sum(x))
+
     cache = make_cache()  # reused (donated) across calls: serving hot loop
     t0 = time.time()
     f_hat, cache = decode_all_scales(
         var_cfg, vae_cfg, params, quant, label, jax.random.PRNGKey(1), samp,
         dtype, kv_mode=kv_mode, cache=cache, return_cache=True)
-    jax.block_until_ready(f_hat)
+    sync(f_hat)
     log(f"[bench] d{depth} compile+first run: {time.time()-t0:.1f}s")
 
     times = []
@@ -96,7 +103,7 @@ def bench_decode(depth: int, batch: int, iters: int = 4, dtype_name="bfloat16",
         f_hat, cache = decode_all_scales(
             var_cfg, vae_cfg, params, quant, label, jax.random.PRNGKey(2 + i),
             samp, dtype, kv_mode=kv_mode, cache=cache, return_cache=True)
-        jax.block_until_ready(f_hat)
+        sync(f_hat)
         times.append(time.time() - t0)
     best = min(times)
     ips = batch / best
