@@ -151,6 +151,34 @@ def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
     return (x.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
 
 
+def _l2norm_heads(x_blc: jnp.ndarray, H: int, hd: int,
+                  rmul: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-head L2 normalization on the MERGED-head (B, L, C) layout.
+
+    Equivalent to ``_l2norm`` on the (B, L, H, hd) view (torch
+    F.normalize(dim=-1), eps=1e-12 — reference: models/basic_var.py:101-105)
+    but reduces via an MXU matmul against a (C, H) 0/1 segment mask instead
+    of a 4-D axis reduce: the axis reduce makes XLA pick a reduction-friendly
+    layout that conflicts with the surrounding matmuls' and insert
+    full-tensor f32 layout copies (~22 ms/decode at d30 B=16 —
+    profile_decode). Every op here stays on the (B, L, C) row-major layout.
+
+    1/max(||x||, 1e-12) == rsqrt(max(||x||^2, 1e-24)) exactly (sqrt/max
+    commute; both monotone). ``rmul``: optional per-head (H,) factor folded
+    into the reciprocal (the learned attention scale — basic_var.py:103).
+    """
+    x32 = x_blc.astype(jnp.float32)
+    seg = jnp.repeat(jnp.eye(H, dtype=jnp.float32), hd, axis=0)  # (C, H)
+    ss = jax.lax.dot_general(
+        x32 * x32, seg, (((x32.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, L, H)
+    r = jax.lax.rsqrt(jnp.maximum(ss, 1e-24))
+    if rmul is not None:
+        r = r * rmul
+    return (x32 * jnp.repeat(r, hd, axis=-1)).astype(x_blc.dtype)
+
+
 def cond_six(cfg: VARConfig, params: Params, cond_BD: jnp.ndarray,
              dtype=jnp.float32) -> jnp.ndarray:
     """Precompute the shared part of AdaLN conditioning.
@@ -244,17 +272,18 @@ def _attention(
     from sdvar_tpu.ops.quantization import linear_blc
 
     qkv = linear_blc(x, layer["qkv_w"], x.dtype) + qkv_bias
-    q, k, v = [a.reshape(B, L, H, hd) for a in jnp.split(qkv, 3, axis=-1)]
+    qm, km, vm = jnp.split(qkv, 3, axis=-1)  # (B, L, C) merged heads
 
     if cfg.attn_l2_norm:
         scale = 1.0
         smul = jnp.exp(
             jnp.minimum(layer["scale_mul"].astype(jnp.float32), math.log(100.0))
         )  # (H,)
-        q = (_l2norm(q).astype(jnp.float32) * smul[None, None, :, None]).astype(x.dtype)
-        k = _l2norm(k)
+        qm = _l2norm_heads(qm, H, hd, rmul=smul)
+        km = _l2norm_heads(km, H, hd)
     else:
         scale = 0.25 / math.sqrt(hd)
+    q, k, v = (a.reshape(B, L, H, hd) for a in (qm, km, vm))
 
     from sdvar_tpu.ops.attention import attention as _attn_dispatch
     from sdvar_tpu.ops.attention import use_cache_kernel

@@ -29,6 +29,7 @@ depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/decode_d{depth}_b{batch}.hlo.txt"
 w8a8 = "w8a8" in sys.argv[4:]
+kv_mode = "int8" if "int8kv" in sys.argv[4:] else "bf16"
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
@@ -49,7 +50,8 @@ samp = SamplingConfig(cfg=1.5, top_k=900, top_p=0.96)
 
 t0 = time.time()
 lowered = D.decode_all_scales.lower(
-    var_cfg, vae_cfg, params, qp, label, jax.random.PRNGKey(0), samp
+    var_cfg, vae_cfg, params, qp, label, jax.random.PRNGKey(0), samp,
+    kv_mode=kv_mode,
 )
 print(f"[hlo] lowered in {time.time()-t0:.1f}s", flush=True)
 t0 = time.time()

@@ -34,6 +34,70 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
 ITERS = 100
 
 
+def _pallas_w8a8(x_blc, wq, ws, s8: bool):
+    """Fused per-token activation quant + int8 matmul in ONE Pallas kernel.
+
+    s8=True: native s8 x s8 -> s32 dot (does Mosaic hit the 2x MXU mode?).
+    s8=False: int8-valued bf16 operands, f32 accum (the XLA-fast pattern).
+    Grid (M/bm, N/bn), full K resident per program (K <= 7680 fits VMEM);
+    x tile is fetched once per row-block (j innermost revisits it).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, K = x_blc.shape
+    M = B * L
+    N = wq.shape[1]
+    x2 = x_blc.reshape(M, K)
+    bm = 256
+    while M % bm:
+        bm //= 2
+    bn = 512
+    while N % bn:
+        bn //= 2
+
+    def kern(x_ref, q_ref, s_ref, o_ref):
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-8)
+        xq = jnp.round(xf / xs)
+        if s8:
+            acc = jax.lax.dot_general(
+                xq.astype(jnp.int8), q_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            acc = jax.lax.dot_general(
+                xq.astype(jnp.bfloat16), q_ref[...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[...] = (acc * xs * s_ref[0][None, :]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(M // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x2, wq, ws.reshape(1, N).astype(jnp.float32))
+    return out.reshape(B, L, N)
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def loop(x, wq, ws, w_bf, mode):
     def body(i, x):
@@ -54,6 +118,10 @@ def loop(x, wq, ws, w_bf, mode):
                 xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                 (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             y = acc * xs * ws[None, None, :]
+        elif mode == "pl_s8":
+            y = _pallas_w8a8(x, wq, ws, s8=True)
+        elif mode == "pl_bf16":
+            y = _pallas_w8a8(x, wq, ws, s8=False)
         s = (jnp.mean(y) * 1e-9).astype(x.dtype)
         return x + s[None, None, None]
 
@@ -77,7 +145,7 @@ def main():
         w_bf = (wq.astype(jnp.float32) * ws[None, :]).astype(jnp.bfloat16)
         fl = 2 * B * L * K * N * ITERS
         row = f"{tag:8s} L={L:4d} K={K:5d} N={N:5d}:"
-        for mode in ("bf16", "int8_int32", "w8a8"):
+        for mode in ("bf16", "int8_int32", "w8a8", "pl_s8", "pl_bf16"):
             float(loop(x, wq, ws, w_bf, mode))  # warmup (+ forces fetch)
             best = 1e9
             for _ in range(3):
