@@ -157,11 +157,14 @@ def _l2norm_heads(x_blc: jnp.ndarray, H: int, hd: int,
 
     Equivalent to ``_l2norm`` on the (B, L, H, hd) view (torch
     F.normalize(dim=-1), eps=1e-12 — reference: models/basic_var.py:101-105)
-    but reduces via an MXU matmul against a (C, H) 0/1 segment mask instead
-    of a 4-D axis reduce: the axis reduce makes XLA pick a reduction-friendly
-    layout that conflicts with the surrounding matmuls' and insert
-    full-tensor f32 layout copies (~22 ms/decode at d30 B=16 —
-    profile_decode). Every op here stays on the (B, L, C) row-major layout.
+    but BOTH the reduce and the broadcast-back go through an MXU matmul
+    against a (C, H) 0/1 segment mask instead of 4-D axis ops: the axis
+    reduce makes XLA pick a reduction-friendly layout that conflicts with
+    the surrounding matmuls' and insert full-tensor f32 layout copies
+    (~22 ms/decode at d30 B=16 — profile_decode), and ``jnp.repeat`` of the
+    reciprocals lowers to a {1,3,2,0}-layout (B, L, H, hd) broadcast plus a
+    full f32 relayout copy per layer (another ~14 ms/scale at d30 scale 9).
+    Every op here stays on the (B, L, C) row-major layout.
 
     1/max(||x||, 1e-12) == rsqrt(max(||x||^2, 1e-24)) exactly (sqrt/max
     commute; both monotone). ``rmul``: optional per-head (H,) factor folded
@@ -176,7 +179,14 @@ def _l2norm_heads(x_blc: jnp.ndarray, H: int, hd: int,
     r = jax.lax.rsqrt(jnp.maximum(ss, 1e-24))
     if rmul is not None:
         r = r * rmul
-    return (x32 * jnp.repeat(r, hd, axis=-1)).astype(x_blc.dtype)
+    # expand (B, L, H) -> (B, L, C) by contracting against seg's H axis:
+    # r_full[b, l, c] = r[b, l, head(c)], emitted directly in row-major
+    # (B, L, C) layout (0.9 GFLOP at d30 scale 9 — noise on the MXU).
+    r_full = jax.lax.dot_general(
+        r, seg, (((x32.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (x32 * r_full).astype(x_blc.dtype)
 
 
 def cond_six(cfg: VARConfig, params: Params, cond_BD: jnp.ndarray,
