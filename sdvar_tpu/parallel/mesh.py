@@ -101,3 +101,19 @@ def shard_tree(tree, specs, mesh: Mesh):
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def shard_batch(mesh: Mesh, arr, spec: Optional[P] = None):
+    """Assemble a process-local batch shard into a global data-sharded array.
+
+    Single-process: a plain device_put. Multi-process: each process holds its
+    own contiguous slice of the global batch (the sampler's per-rank slice,
+    reference utils/data_sampler.py:96-100) and
+    ``make_array_from_process_local_data`` stitches them into one global
+    array without any cross-host transfer.
+    """
+    spec = spec if spec is not None else P(DATA)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() <= 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(arr))

@@ -21,12 +21,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.config import MeshConfig, TrainConfig, VARConfig, VQVAEConfig
 from sdvar_tpu.models.var import count_params, init_var_params
 from sdvar_tpu.models.vqvae import init_vqvae_params
+from sdvar_tpu.parallel import distributed as D
+from sdvar_tpu.parallel.mesh import (
+    create_mesh,
+    replicated_specs,
+    shard_batch,
+    shard_tree,
+    var_param_specs,
+)
 from sdvar_tpu.train import checkpoint as ckpt
 from sdvar_tpu.train.data import (
     DistInfiniteBatchSampler,
+    EvalDistributedSampler,
     batch_arrays,
     build_dataset,
 )
@@ -40,17 +49,27 @@ from sdvar_tpu.train.trainer import (
 from sdvar_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardSink
 
 
-def build_everything(tc: TrainConfig, seed: int = 0):
-    patch_nums = tc.patch_nums
-    vae_cfg = VQVAEConfig(patch_nums=patch_nums)
-    var_cfg = VARConfig(
-        depth=tc.depth, patch_nums=patch_nums,
-        shared_aln=tc.shared_aln, attn_l2_norm=tc.attn_l2_norm,
-    )
+def build_everything(tc: TrainConfig, seed: int = 0, mesh=None,
+                     var_cfg: Optional[VARConfig] = None,
+                     vae_cfg: Optional[VQVAEConfig] = None):
+    """Init configs + params; when ``mesh`` is given, place VAR params per
+    the tensor-parallel specs BEFORE optimizer init so Adam moments inherit
+    the same shardings (reference DDP wrap point: train.py:102)."""
+    if vae_cfg is None:
+        vae_cfg = VQVAEConfig(patch_nums=tc.patch_nums)
+    if var_cfg is None:
+        var_cfg = VARConfig(
+            depth=tc.depth, patch_nums=tc.patch_nums,
+            shared_aln=tc.shared_aln, attn_l2_norm=tc.attn_l2_norm,
+        )
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     vae_params = init_vqvae_params(vae_cfg, k1)
     var_params = init_var_params(var_cfg, k2)
+    if mesh is not None:
+        var_params = shard_tree(var_params, var_param_specs(var_cfg), mesh)
+        vae_params = shard_tree(vae_params, replicated_specs(vae_params),
+                                mesh)
     state = init_train_state(var_params, clip=tc.grad_clip)
     return vae_cfg, var_cfg, vae_params, state
 
@@ -63,11 +82,32 @@ def run_training(
     max_iters: Optional[int] = None,
     batch_override: Optional[int] = None,
     dtype=jnp.float32,
+    mesh_cfg: Optional[MeshConfig] = None,
+    var_cfg: Optional[VARConfig] = None,
+    vae_cfg: Optional[VQVAEConfig] = None,
 ):
-    vae_cfg, var_cfg, vae_params, state = build_everything(tc, seed)
-    print(f"[init] VAR params: {count_params(state.params)/1e6:.2f}M")
+    """Epoch loop over a data×model device mesh.
+
+    ``mesh_cfg=None`` runs on the first local device (reference NullDDP,
+    train.py:320-327); otherwise the batch is sharded over "data" and the
+    VAR weights tensor-parallel over "model" (reference DDP: train.py:102,
+    per-rank batch split: utils/arg_util.py:255-257). Multi-host: call
+    ``parallel.distributed.initialize`` first; each process feeds its own
+    contiguous slice of the global batch.
+    """
+    world, rank = D.get_world_size(), D.get_rank()
+    mesh = create_mesh(mesh_cfg) if mesh_cfg is not None else None
+    vae_cfg, var_cfg, vae_params, state = build_everything(
+        tc, seed, mesh=mesh, var_cfg=var_cfg, vae_cfg=vae_cfg)
+    if D.is_master():
+        print(f"[init] VAR params: {count_params(state.params)/1e6:.2f}M"
+              + (f" mesh={dict(mesh.shape)}" if mesh is not None else "")
+              + (f" procs={world}" if world > 1 else ""))
 
     bs = batch_override or tc.global_batch_size
+    assert bs % world == 0, (bs, world)
+    if mesh is not None:
+        assert bs % mesh.shape["data"] == 0, (bs, mesh.shape)
     train_set = build_dataset(data_root, reso=tc.reso, train=True)
     val_set = build_dataset(data_root, reso=tc.reso, train=False,
                             synthetic_len=64)
@@ -93,8 +133,10 @@ def run_training(
         except Exception as e:
             print(f"[data] native loader unavailable ({e}); using Python path")
 
+    # per-process contiguous slice of the global batch (reference
+    # utils/data_sampler.py:96-100; world/rank = JAX process count/index)
     sampler = DistInfiniteBatchSampler(
-        len(train_set), bs, world_size=1, rank=0, seed=seed,
+        len(train_set), bs, world_size=world, rank=rank, seed=seed,
     )
     iters_per_ep = sampler.iters_per_ep
     max_it = tc.epochs * iters_per_ep
@@ -120,6 +162,7 @@ def run_training(
     S = len(var_cfg.patch_nums)
     prog_wp_it = max(tc.pgwp_epochs() * iters_per_ep, 1)
     prog_it, last_prog_si, first_prog = 0, -1, True
+    history = []
     while g_it < max_it:
         if max_iters is not None and g_it >= max_iters:
             break
@@ -129,6 +172,11 @@ def run_training(
             img, label, _ = native.next_batch(len(idxs))
         else:
             img, label = batch_arrays(train_set, idxs)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            img = shard_batch(mesh, np.asarray(img), P("data"))
+            label = shard_batch(mesh, np.asarray(label), P("data"))
         lr, wd = lr_wd_annealing(
             tc.lr_schedule, tc.peak_lr(), tc.weight_decay,
             tc.weight_decay_end, g_it, wp_it, max_it, wpe=0.01,
@@ -158,40 +206,50 @@ def run_training(
         g_it += 1
         if g_it % 10 == 0 or g_it == 1:
             m = {k: float(v) for k, v in metrics.items()}
+            history.append(dict(m, it=g_it))
             mlog.update(**{k: m[k] for k in ("Lm", "Lt", "Accm", "Acct")})
-            print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "
-                  f"Lm={m['Lm']:.4f} Accm={m['Accm']:.2f} "
-                  f"gnorm={m['grad_norm']:.3f} lr={m['lr']:.2e}")
-            tb.update("AR_iter_loss", g_it, force=True, **{
-                k: m[k] for k in ("Lm", "Lt", "Accm", "Acct", "grad_norm",
-                                  "z_voc_usage")
-            })
+            if D.is_master():
+                print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "
+                      f"Lm={m['Lm']:.4f} Accm={m['Accm']:.2f} "
+                      f"gnorm={m['grad_norm']:.3f} lr={m['lr']:.2e}")
+                tb.update("AR_iter_loss", g_it, force=True, **{
+                    k: m[k] for k in ("Lm", "Lt", "Accm", "Acct", "grad_norm",
+                                      "z_voc_usage")
+                })
         ep = g_it // iters_per_ep
         if g_it % iters_per_ep == 0:
-            # eval + ckpt every `saln_every` epochs (train.py:208-231)
+            # eval + ckpt every `saln_every` epochs (train.py:208-231);
+            # each process evals its contiguous shard, stats are summed
+            # host-side (reference eval sharding: utils/data_sampler.py:6-17
+            # + all-reduce trainer.py:79-83)
             if ep % tc.saln_every == 0:
                 stats = {"L_mean": 0.0, "L_tail": 0.0, "acc_mean": 0.0,
                          "acc_tail": 0.0, "tot": 0.0}
-                for i0 in range(0, min(len(val_set), 64), 16):
-                    img, label = batch_arrays(
-                        val_set, list(range(i0, min(i0 + 16, len(val_set))))
-                    )
+                shard = list(EvalDistributedSampler(
+                    min(len(val_set), 64), world, rank))
+                for i0 in range(0, len(shard), 16):
+                    img, label = batch_arrays(val_set, shard[i0:i0 + 16])
                     out = eval_step(var_cfg, vae_cfg, state.params, vae_params,
                                     jnp.asarray(img), jnp.asarray(label),
                                     dtype=dtype)
                     for k in stats:
                         stats[k] += float(out[k])
+                red = D.allreduce_host(np.asarray(
+                    [stats[k] for k in sorted(stats)], np.float64))
+                stats = dict(zip(sorted(stats), red.tolist()))
                 tot = max(stats.pop("tot"), 1.0)
                 stats = {k: v / tot for k, v in stats.items()}
-                print(f"[eval ep{ep}] {stats}")
-                jlog.write(epoch=ep, it=g_it, **stats)
+                if D.is_master():
+                    print(f"[eval ep{ep}] {stats}")
+                    jlog.write(epoch=ep, it=g_it, **stats)
                 ckpt.save_checkpoint(out_dir, g_it, state,
                                      meta={"epoch": ep,
                                            "config": tc.__dict__ | {}})
     dt = time.time() - t0
-    print(f"[done] {g_it} iters in {dt:.1f}s")
+    if D.is_master():
+        print(f"[done] {g_it} iters in {dt:.1f}s")
     tb.close()
-    return state
+    return state, history
 
 
 def smoke_test() -> bool:
@@ -247,14 +305,22 @@ def main():
     ap.add_argument("--pg", type=float, default=0.0,
                     help="progressive training fraction (reference args.pg)")
     ap.add_argument("--pg0", type=int, default=4)
+    ap.add_argument("--mesh-data", type=int, default=0,
+                    help="data-parallel mesh axis; 0 = single device")
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel mesh axis")
     args = ap.parse_args()
     if args.smoke:
         smoke_test()
         return
+    D.initialize()  # multi-host bring-up; no-op single-process
+    mesh_cfg = (MeshConfig(data=args.mesh_data, model=args.mesh_model)
+                if args.mesh_data > 0 else None)
     tc = TrainConfig(depth=args.depth, global_batch_size=args.bs,
                      epochs=args.ep, pg=args.pg, pg0=args.pg0)
     run_training(tc, data_root=args.data, out_dir=args.out,
-                 max_iters=args.max_iters, batch_override=args.bs)
+                 max_iters=args.max_iters, batch_override=args.bs,
+                 mesh_cfg=mesh_cfg)
 
 
 if __name__ == "__main__":
