@@ -93,6 +93,44 @@ def test_sampler_multirank_partition():
     np.testing.assert_array_equal(np.asarray(joined), glob)
 
 
+def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
+    """Orbax checkpointing must round-trip a TP-sharded TrainState and land
+    the restore back on the mesh with the template's shardings (pod-scale
+    analogue of the reference's auto_resume, utils/misc.py:344-357)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sdvar_tpu.models.var import init_var_params
+    from sdvar_tpu.parallel.mesh import create_mesh, shard_tree, var_param_specs
+    from sdvar_tpu.train import checkpoint as ckpt
+    from sdvar_tpu.train.trainer import TrainState, init_train_state
+
+    var_cfg, _ = _tiny_cfgs()
+    mesh = create_mesh(MeshConfig(data=2, model=4))
+    params = shard_tree(init_var_params(var_cfg, jax.random.PRNGKey(3)),
+                        var_param_specs(var_cfg), mesh)
+    state = init_train_state(params)
+
+    path = ckpt.save_checkpoint(str(tmp_path), 7, state, meta={"epoch": 1})
+
+    # restore into a zeroed template that carries the target shardings
+    template = jax.tree.map(jnp.zeros_like, state)
+    loaded, meta = ckpt.load_checkpoint(path, template)
+    assert meta["step"] == 7 and meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding == a.sharding, (a.sharding, b.sharding)
+
+    # auto_resume picks the newest and shape-mismatch templates are rejected
+    loaded2, meta2 = ckpt.auto_resume(str(tmp_path), template)
+    assert loaded2 is not None and meta2["step"] == 7
+    bad_cfg, _ = _tiny_cfgs()
+    bad = init_train_state(init_var_params(
+        VARConfig(depth=2, patch_nums=PNS, vocab_size=64, Cvae=8,
+                  num_classes=1000, head_dim=64), jax.random.PRNGKey(0)))
+    none_loaded, m0 = ckpt.auto_resume(str(tmp_path), bad)
+    assert none_loaded is None and m0["step"] == 0
+
+
 def test_sampler_resume_mid_epoch():
     """start_ep/start_it resume lands exactly where the fresh run was
     (reference resumability: utils/data_sampler.py:81-86)."""
