@@ -1,10 +1,18 @@
 """Continuous batching of image-generation requests.
 
-BASELINE.json config #5 (serving side): the reference has no serving layer —
-its "harness" is a Colab notebook (sdvar_colab_test.py). This module provides
-the production surface: a scheduler that coalesces asynchronously arriving
+BASELINE.json config #5: the reference has no serving layer — its "harness"
+is a Colab notebook (sdvar_colab_test.py). This module provides the
+production surface: a scheduler that coalesces asynchronously arriving
 requests into fixed bucket-size batches and runs the one-jit decode per
-bucket (compile cache makes each bucket a one-time cost).
+bucket (compile cache makes each bucket a one-time cost). Three modes, all
+combinable:
+
+  - baseline decode (one VAR);
+  - speculative decode (draft/target pair via SpeculativeEngine — pass
+    ``draft_cfg``/``draft_params``/``spec``), SpecStats aggregated in
+    ``stats``;
+  - mesh execution (pass ``mesh_cfg``): VAR weights tensor-parallel over
+    "model", batch over "data"; the scheduler stays host-replicated.
 
 Determinism: each request carries its own PRNG seed; sampling uses per-slot
 key arrays (ops/sampling.py fold_key), so a request's image is a pure
@@ -25,7 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.config import (
+    MeshConfig,
+    SamplingConfig,
+    SpeculativeConfig,
+    VARConfig,
+    VQVAEConfig,
+)
 
 
 @dataclass
@@ -39,9 +53,14 @@ class Request:
 @dataclass
 class Result:
     id: int
-    image: np.ndarray        # (3, H, W) in [0, 1]
+    image: Optional[np.ndarray]  # (3, H, W) in [0, 1]; None on failure
     latency_s: float
     batch_size: int
+    error: Optional[str] = None  # failure payload (exception type: message)
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
 
 
 class GenerationServer:
@@ -65,6 +84,10 @@ class GenerationServer:
         buckets: Optional[List[int]] = None,
         dtype=jnp.bfloat16,
         kv_mode: str = "bf16",
+        draft_cfg: Optional[VARConfig] = None,
+        draft_params=None,
+        spec: Optional[SpeculativeConfig] = None,
+        mesh_cfg: Optional[MeshConfig] = None,
     ):
         self.var_cfg, self.vae_cfg = var_cfg, vae_cfg
         self.var_params, self.vae_params = var_params, vae_params
@@ -74,6 +97,39 @@ class GenerationServer:
         self.buckets = sorted(buckets or [1, 2, 4, 8])
         self.dtype = dtype
         self.kv_mode = kv_mode
+
+        # mesh mode: tensor-parallel weights, data-sharded batch
+        self.mesh = None
+        if mesh_cfg is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from sdvar_tpu.parallel.mesh import (
+                create_mesh,
+                shard_tree,
+                var_param_specs,
+            )
+
+            self.mesh = create_mesh(mesh_cfg)
+            repl = NamedSharding(self.mesh, P())
+            self.var_params = shard_tree(
+                var_params, var_param_specs(var_cfg), self.mesh)
+            self.vae_params = jax.device_put(vae_params, repl)
+            if draft_params is not None:
+                draft_params = shard_tree(
+                    draft_params, var_param_specs(draft_cfg), self.mesh)
+
+        # speculative mode: draft/target pair behind one scheduler
+        self.engine = None
+        if draft_cfg is not None:
+            from sdvar_tpu.engine.speculative import SpeculativeEngine
+
+            assert draft_params is not None
+            self.spec = spec or SpeculativeConfig()
+            self.engine = SpeculativeEngine(
+                vae_cfg, draft_cfg, self.var_cfg,
+                self.vae_params, draft_params, self.var_params,
+                dtype=dtype,
+            )
 
         self._caches: Dict[int, object] = {}  # per-bucket reused KV caches
         self._q: "queue.Queue[Request]" = queue.Queue()
@@ -140,6 +196,14 @@ class GenerationServer:
                 break
         return batch
 
+    def _place(self, arr):
+        """Mesh mode: shard the batch over "data"; no-op otherwise."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+
     def _run_batch(self, batch: List[Request]):
         from sdvar_tpu.engine.decode import decode_all_scales
         from sdvar_tpu.models import vqvae as VQ
@@ -151,29 +215,43 @@ class GenerationServer:
         for i, r in enumerate(batch):
             labels[i] = r.label
             seeds[i] = np.uint32(r.seed)
-        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+        keys = self._place(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
+        labels_d = self._place(jnp.asarray(labels))
 
-        # per-bucket KV cache, donated + reclaimed each batch: steady-state
-        # decode allocates nothing and skips the cache zero-init (~8.5 ms
-        # at d30) — the scheduler thread owns the only handle.
-        cache = self._caches.pop(bsz, None)
-        if cache is None:
-            if self.kv_mode == "int8":
-                from sdvar_tpu.ops.quantization import QuantizedKVCache
+        if self.engine is not None:
+            # speculative mode: draft/target pair, per-request key streams
+            f_hat, spec_stats = self.engine.generate_speculative(
+                labels_d, keys, self.spec, self.samp,
+            )
+            for k in ("target_calls", "draft_calls", "accept_count",
+                      "reject_count", "forced_accepts"):
+                self.stats["spec_" + k] = (
+                    self.stats.get("spec_" + k, 0)
+                    + getattr(spec_stats, k)
+                )
+        else:
+            # per-bucket KV cache, donated + reclaimed each batch:
+            # steady-state decode allocates nothing and skips the cache
+            # zero-init (~8.5 ms at d30) — the scheduler thread owns the
+            # only handle.
+            cache = self._caches.pop(bsz, None)
+            if cache is None:
+                if self.kv_mode == "int8":
+                    from sdvar_tpu.ops.quantization import QuantizedKVCache
 
-                cache = QuantizedKVCache.create(self.var_cfg, 2 * bsz)
-            else:
-                from sdvar_tpu.models.var import KVCache
+                    cache = QuantizedKVCache.create(self.var_cfg, 2 * bsz)
+                else:
+                    from sdvar_tpu.models.var import KVCache
 
-                cache = KVCache.create(self.var_cfg, 2 * bsz,
-                                       dtype=self.dtype)
-        f_hat, cache = decode_all_scales(
-            self.var_cfg, self.vae_cfg, self.var_params,
-            self.vae_params["quant"], jnp.asarray(labels), keys,
-            self.samp, self.dtype, kv_mode=self.kv_mode,
-            cache=cache, return_cache=True,
-        )
-        self._caches[bsz] = cache
+                    cache = KVCache.create(self.var_cfg, 2 * bsz,
+                                           dtype=self.dtype)
+            f_hat, cache = decode_all_scales(
+                self.var_cfg, self.vae_cfg, self.var_params,
+                self.vae_params["quant"], labels_d, keys,
+                self.samp, self.dtype, kv_mode=self.kv_mode,
+                cache=cache, return_cache=True,
+            )
+            self._caches[bsz] = cache
         imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
         imgs = np.asarray((imgs + 1.0) * 0.5)
 
@@ -196,11 +274,15 @@ class GenerationServer:
                 continue
             try:
                 self._run_batch(batch)
-            except Exception as e:  # deliver the error to waiters
+            except Exception as e:  # deliver the error payload to waiters
+                err = f"{type(e).__name__}: {e}"
+                now = time.time()
                 with self._results_cv:
                     for r in batch:
                         self._results[r.id] = Result(
-                            id=r.id, image=None, latency_s=-1.0, batch_size=0,
+                            id=r.id, image=None, latency_s=now - r.submit_t,
+                            batch_size=0, error=err,
                         )
                     self._results_cv.notify_all()
-                print(f"[serving] batch failed: {type(e).__name__}: {e}")
+                self.stats["failed"] = self.stats.get("failed", 0) + len(batch)
+                print(f"[serving] batch failed: {err}")

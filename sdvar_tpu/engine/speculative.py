@@ -47,7 +47,7 @@ from sdvar_tpu.engine.decode import DecodeState, init_decode, scale_step
 from sdvar_tpu.models import quantizer as Q
 from sdvar_tpu.models import var as M
 from sdvar_tpu.ops.masks import prefill_bias, verify_window_bias
-from sdvar_tpu.ops.sampling import cfg_mix, sample_with_top_k_top_p
+from sdvar_tpu.ops.sampling import cfg_mix, fold_key, sample_with_top_k_top_p
 
 DRAFT_STREAM = 1
 TARGET_STREAM = 2
@@ -232,7 +232,7 @@ def _target_prefill_handoff(
     si = entry_num
     ratio = si / var_cfg.num_stages_minus_1
     mixed = cfg_mix(logits, samp.cfg * ratio)
-    skey = jax.random.fold_in(key, si)
+    skey = fold_key(key, si)
     ids = sample_with_top_k_top_p(mixed, skey, samp.top_k, samp.top_p)
     h_BlC = Q.embed(quant_params, ids)
     pn = pns[si]
@@ -296,7 +296,7 @@ def _takeover_generate(
 
     ratio = cur / var_cfg.num_stages_minus_1
     mixed = cfg_mix(logits, samp.cfg * ratio)
-    skey = jax.random.fold_in(key, cur)
+    skey = fold_key(key, cur)
     ids = sample_with_top_k_top_p(mixed, skey, samp.top_k, samp.top_p)
     h_BlC = Q.embed(quant_params, ids)
     pn = pns[cur]
@@ -374,9 +374,9 @@ class SpeculativeEngine:
         (state-after, ids, hub input used) with hub[j] = continuous input map
         that feeds scale start+j+1 (reference draft_token_hub,
         models/var.py:712-713)."""
-        dkey = jax.random.fold_in(key, DRAFT_STREAM)
+        dkey = fold_key(key, DRAFT_STREAM)
         if attempt:
-            dkey = jax.random.fold_in(dkey, 1000 + attempt)
+            dkey = fold_key(dkey, 1000 + attempt)
         mods = _precompute_mods(self.draft_cfg, self.draft_params, sos)
         states, ids_list, hub = [], [], []
         for si in range(start, start + gamma):
@@ -397,9 +397,9 @@ class SpeculativeEngine:
     ):
         """One-dispatch draft of a whole gamma-window (same numerics as
         _draft_scales; host round-trips per scale removed)."""
-        dkey = jax.random.fold_in(key, DRAFT_STREAM)
+        dkey = fold_key(key, DRAFT_STREAM)
         if attempt:
-            dkey = jax.random.fold_in(dkey, 1000 + attempt)
+            dkey = fold_key(dkey, 1000 + attempt)
         state, ids_list, ckpts, hub = _draft_window(
             self.draft_cfg, self.vae_cfg, self.draft_params,
             self.quant_params, start, gamma, state, sos, lvl_pos, dkey,
@@ -428,7 +428,7 @@ class SpeculativeEngine:
             self.target_cfg, self.target_params, label_B, self.dtype
         )
         t_cache = t_state.cache
-        tkey = jax.random.fold_in(key, TARGET_STREAM)
+        tkey = fold_key(key, TARGET_STREAM)
 
         stage = 0
         gamma = spec.gamma
@@ -481,7 +481,7 @@ class SpeculativeEngine:
                 # for the first rejected scale — guaranteed progress with
                 # target-quality tokens.
                 j = accept
-                skey = jax.random.fold_in(jax.random.fold_in(tkey, stage), attempt)
+                skey = fold_key(fold_key(tkey, stage), attempt)
                 ids = sample_with_top_k_top_p(
                     t_logits[j], skey, samp.top_k, samp.top_p
                 )
@@ -549,7 +549,7 @@ class SpeculativeEngine:
         t_state, t_sos, t_lvl = init_decode(
             self.target_cfg, self.target_params, label_B, self.dtype
         )
-        tkey = jax.random.fold_in(key, TARGET_STREAM)
+        tkey = fold_key(key, TARGET_STREAM)
         state, _ = _target_prefill_handoff(
             self.target_cfg, self.vae_cfg, self.target_params,
             self.quant_params, entry_num, sd_mask,
@@ -612,7 +612,7 @@ class SpeculativeEngine:
             if f_hat is not None:
                 state = DecodeState(f_hat=f_hat, next_map=state.next_map,
                                     cache=state.cache)
-            mkey = jax.random.fold_in(key, stream)
+            mkey = fold_key(key, stream)
 
             first = cur
             if cur > seen or (cur == seen and cur > 0):

@@ -47,8 +47,37 @@ def _mid(lo, hi):
     return (lo & hi) + ((lo ^ hi) >> 1)
 
 
+def _i32(c: int) -> jnp.ndarray:
+    """uint32 literal as a wrapped int32 constant."""
+    import numpy as np
+
+    return jnp.int32(np.uint32(c).astype(np.int32))
+
+
+def _lshr(x, n: int):
+    """Logical right shift on int32 (Mosaic has no unsigned ops):
+    arithmetic shift then mask off the sign-extended high bits."""
+    return (x >> n) & jnp.int32((1 << (32 - n)) - 1)
+
+
+def _rowhash_bits(row_seeds, bm: int, V: int) -> jnp.ndarray:
+    """Counter-based per-row random bits: murmur3 finalizer over
+    (row_seed, column). Fully vectorized — every batch row draws an
+    independent, position-independent noise stream, so a request's sample
+    depends only on its own key (serving determinism), not on which batch
+    slot the scheduler placed it in."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (bm, V), 1)
+    h = row_seeds + col * _i32(0x9E3779B9)
+    h = h ^ _lshr(h, 16)
+    h = h * _i32(0x85EBCA6B)
+    h = h ^ _lshr(h, 13)
+    h = h * _i32(0xC2B2AE35)
+    h = h ^ _lshr(h, 16)
+    return h
+
+
 def _kernel(x_ref, seed_ref, out_ref, mask_ref, *, top_k, top_p, V,
-            with_noise, noise_ref=None):
+            with_noise, noise_ref=None, row_seed_ref=None):
     """One block: (bm, V) logits -> (bm, 1) sampled ids (+ debug mask).
 
     mask_ref: int8 (bm, V) debug output of the final keep mask (compiled
@@ -109,11 +138,16 @@ def _kernel(x_ref, seed_ref, out_ref, mask_ref, *, top_k, top_p, V,
     if with_noise:
         g = noise_ref[...].astype(jnp.float32)
     else:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        if row_seed_ref is not None:
+            # per-request streams: counter-based hash of (row seed, column)
+            bits = _rowhash_bits(row_seed_ref[...], x.shape[0], V)
+        else:
+            # scalar-seed path: per-core PRNG (bit-identical to round 1)
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
         # int32 domain throughout: Mosaic has no uint32->f32 cast. The
         # arithmetic >>8 sign-extends; masking to 24 bits restores the
         # logical shift, and int32->f32 is exact for 24-bit values.
-        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.int32)
         b24 = (bits >> 8) & jnp.int32(0xFFFFFF)
         # uniform in (0, 1): 24 random bits, never 0 or 1
         u01 = b24.astype(jnp.float32) * jnp.float32(2**-24) \
@@ -143,9 +177,14 @@ def fused_sample(
     noise: Optional[jnp.ndarray] = None,  # test hook: explicit Gumbel noise
     interpret: bool = False,
     return_mask: bool = False,
+    row_seeds: Optional[jnp.ndarray] = None,  # (M,) int32 per-row streams
 ):
     """Sample ids from top-k/top-p filtered logits in ONE fused kernel.
-    Returns (B, l) int32 ids (and the keep mask when ``return_mask``)."""
+    Returns (B, l) int32 ids (and the keep mask when ``return_mask``).
+
+    ``row_seeds``: one int32 seed per flattened row — serving's per-request
+    key arrays stay on this fast path (the scalar ``seed`` is ignored then).
+    """
     shp = logits.shape
     V = shp[-1]
     M = 1
@@ -166,13 +205,21 @@ def fused_sample(
         in_specs.append(pl.BlockSpec((bm, V), lambda i, sref: (i, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(noise.reshape(M, V).astype(jnp.float32))
+    per_row = row_seeds is not None and not with_noise
+    if per_row:
+        in_specs.append(pl.BlockSpec((bm, 1), lambda i, sref: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(row_seeds, jnp.int32).reshape(M, 1))
 
     def entry(seed_ref, x_ref, *rest):
-        noise_ref = rest[0] if with_noise else None
+        pos = 0
+        noise_ref = rest[pos] if with_noise else None
+        pos += int(with_noise)
+        row_seed_ref = rest[pos] if per_row else None
         out_ref, mask_ref = rest[-2], rest[-1]
         _kernel(x_ref, seed_ref, out_ref, mask_ref, top_k=top_k,
                 top_p=top_p, V=V, with_noise=with_noise,
-                noise_ref=noise_ref)
+                noise_ref=noise_ref, row_seed_ref=row_seed_ref)
 
     out, mask = pl.pallas_call(
         entry,

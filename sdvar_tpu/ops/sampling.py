@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -44,13 +45,31 @@ def _seed_from_key(key: jax.Array) -> jnp.ndarray:
     return (data[0] ^ data[-1]).astype(jnp.int32)
 
 
+def _is_key_array(key: jax.Array) -> bool:
+    return key.ndim > 0 and jax.dtypes.issubdtype(key.dtype,
+                                                  jax.dtypes.prng_key)
+
+
+def _row_seeds_from_keys(key: jax.Array, shape) -> jnp.ndarray:
+    """(B,) key array + logits shape (B, l..., V) -> (B*l,) int32 per-row
+    seeds. Depends only on (request key, position within the request), so a
+    request's samples are independent of its batch slot."""
+    seeds_b = jax.vmap(_seed_from_key)(key)            # (B,)
+    l = 1
+    for d in shape[1:-1]:
+        l *= d
+    pos = jnp.arange(l, dtype=jnp.int32) * jnp.int32(
+        np.uint32(0x9E3779B9).astype(np.int32))
+    return (seeds_b[:, None] ^ pos[None, :]).reshape(-1)
+
+
 def _fused_sampler_ok(logits: jnp.ndarray, key: jax.Array, top_k: int) -> bool:
     if _SAMPLER == "xla" or top_k <= 0:
         return False
     if _SAMPLER == "auto" and jax.default_backend() not in ("tpu", "axon"):
         return False
-    if key.ndim > 0 and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
-        return False  # per-request key arrays keep the jax.random stream
+    if _is_key_array(key) and key.shape[0] != logits.shape[0]:
+        return False  # one key per batch row required for per-row streams
     V = logits.shape[-1]
     M = 1
     for d in logits.shape[:-1]:
@@ -127,6 +146,11 @@ def sample_with_top_k_top_p(
     if _fused_sampler_ok(logits, key, top_k):
         from sdvar_tpu.ops.pallas.sampling import fused_sample
 
+        if _is_key_array(key):
+            return fused_sample(
+                logits, jnp.int32(0), top_k, top_p,
+                row_seeds=_row_seeds_from_keys(key, logits.shape),
+            )
         return fused_sample(logits, _seed_from_key(key), top_k, top_p)
     if top_k > 0 and top_k < V:
         vals, idxs = jax.lax.top_k(logits, top_k)  # descending

