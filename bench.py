@@ -19,12 +19,30 @@ import time
 
 import numpy as np
 
-# A100 PyTorch baseline assumption for VAR-d30 256px batched KV-cached CFG
-# decode (fp16, flash-attn, batch 8): ~2.0 images/s. Derivation: the VAR
-# paper/model zoo lists d30 at "relative cost 1.0" with d16 at 0.4; community
-# A100 measurements of the reference stack put d16 at ~5 img/s batched, so
-# d30 ~= 2 img/s. Update when a measured BASELINE.json number lands.
-A100_D30_IMGS_PER_SEC = 2.0
+# ---------------------------------------------------------------------------
+# A100 baseline: ESTIMATED, not measured (no GPU in this environment; the
+# reference repo commits no timings — benchmarks/ is gitignored). Two
+# estimates with provenance, both labeled wherever the multiple appears:
+#
+# 1. Reference stack as-is (eager PyTorch, per-scale Python loop, no CUDA
+#    graphs): ~2.0 img/s. Derivation: model zoo lists d30 at relative cost
+#    1.0 vs d16 at 0.4 (README.md:89-92); public A100 runs of eager VAR-d16
+#    report ~5 img/s batched => d30 ~2 img/s. This is the "A100 PyTorch
+#    baseline" BASELINE.json names.
+#
+# 2. Optimized-A100 roofline bound (what a perfect implementation could do,
+#    fp16, batch 16): per image the CFG-doubled decode moves ~5.7 TFLOPs
+#    (2 x 2.0e9 params x 680 tokens x 2 for CFG, + ~0.2 TF attention);
+#    B=16 => 91 TF/batch. A100 fp16 peak 312 TFLOP/s => 292 ms/batch at
+#    100% MFU = 54 img/s ceiling; at a strong 40% sustained MFU ~= 22 img/s.
+#    Weight traffic (40 GB per 10 forwards / 2 TB/s = 20 ms) is not the
+#    binding constraint at this batch.
+#
+# The headline vs_baseline uses (1) to match BASELINE.json's framing; stderr
+# also reports the multiple against (2) so the claim can't lean on a weak
+# baseline unnoticed.
+A100_D30_IMGS_PER_SEC = 2.0          # estimated, eager reference stack
+A100_D30_ROOFLINE_IMGS_PER_SEC = 22.0  # estimated, 40%-MFU optimized bound
 
 
 def log(*a):
@@ -145,11 +163,16 @@ def main():
     try:  # diagnostic secondary config: plain bf16 decode
         ips_bf16 = bench_decode(depth, 16)
         log(f"[bench] secondary: d30 B=16 bf16 {ips_bf16:.2f} img/s "
-            f"({ips_bf16 / A100_D30_IMGS_PER_SEC:.1f}x baseline)")
+            f"({ips_bf16 / A100_D30_IMGS_PER_SEC:.1f}x est. eager baseline)")
     except Exception as e:
         log(f"[bench] bf16 secondary failed: {type(e).__name__}: {e}")
+    log(f"[bench] vs estimated baselines: {ips / A100_D30_IMGS_PER_SEC:.1f}x "
+        f"eager-A100 (~{A100_D30_IMGS_PER_SEC} img/s), "
+        f"{ips / A100_D30_ROOFLINE_IMGS_PER_SEC:.1f}x optimized-A100 "
+        f"roofline (~{A100_D30_ROOFLINE_IMGS_PER_SEC} img/s @40% MFU)")
     print(json.dumps({
-        "metric": f"VAR-d30 256px images/sec ({mode})",
+        "metric": f"VAR-d30 256px images/sec ({mode}; baseline est., "
+                  "see bench.py provenance)",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_D30_IMGS_PER_SEC, 3),

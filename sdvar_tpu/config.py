@@ -112,10 +112,20 @@ class VARConfig:
     shared_aln: bool = False
     attn_l2_norm: bool = True     # models/__init__.py:22 default
     cond_drop_rate: float = 0.1
-    drop_rate: float = 0.0
-    attn_drop_rate: float = 0.0
+    drop_rate: float = 0.0          # proj/FFN-output dropout (training)
+    attn_drop_rate: float = 0.0     # unsupported: rejected in __post_init__
     drop_path_rate: Optional[float] = None  # None -> 0.1*depth/24
     head_dim: int = 64
+
+    def __post_init__(self):
+        # attention-weight dropout would break the fused attention kernels;
+        # the reference never enables it (default 0 everywhere,
+        # models/__init__.py:16-46). Fail loudly instead of no-opping.
+        if self.attn_drop_rate != 0.0:
+            raise NotImplementedError(
+                "attn_drop_rate is not supported by the fused attention "
+                "path; use drop_rate/drop_path_rate instead"
+            )
 
     @property
     def embed_dim(self) -> int:

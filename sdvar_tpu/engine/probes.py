@@ -29,18 +29,30 @@ def logit_diff_probe(
     samp: SamplingConfig = SamplingConfig(),
     upto_scale: int | None = None,
 ) -> List[Dict]:
-    """Drive the draft scale-by-scale; at each scale, have the target verify
-    that single scale (γ=1 window) and report how far the two models' CFG'd
-    logits diverge plus the top-1 match rate. Mirrors tmp/var.py:924-1037.
+    """sd_test5 equivalent (reference: tmp/var.py:924-1037, the Δlogits
+    print at :1026-1029): drive the draft scale-by-scale; at each scale,
+    BOTH models verify the identical drafted prefix (γ=1 window, same hub
+    inputs, each re-embedded with its own word_embed) and the probe reports
+    per scale:
+
+      - ``logit_absdiff_max``: max |draft CFG'd logits − target CFG'd
+        logits| on the same token slice (with draft == target this is ~0);
+      - ``match_rate``: top-1 agreement between the draft's SAMPLED tokens
+        and the target's argmax (the acceptance statistic);
+      - ``target_logit_absmax``: magnitude context for the diff.
     """
-    S = upto_scale or eng.num_scales
+    S = eng.num_scales if upto_scale is None else upto_scale
     d_state, d_sos, d_lvl = init_decode(
         eng.draft_cfg, eng.draft_params, label_B, eng.dtype
     )
     t_state, t_sos, t_lvl = init_decode(
         eng.target_cfg, eng.target_params, label_B, eng.dtype
     )
+    # verification caches, threaded scale-by-scale: the draft gets its OWN
+    # verify cache so probing never perturbs its decode cache
     t_cache = t_state.cache
+    d_vcache = init_decode(eng.draft_cfg, eng.draft_params, label_B,
+                           eng.dtype)[0].cache
     dkey = jax.random.fold_in(key, 1)
 
     report = []
@@ -55,12 +67,17 @@ def logit_diff_probe(
             eng.target_cfg, eng.target_params, si, 1, t_cache,
             t_sos, t_lvl, hub_in, samp, eng.dtype,
         )
-        # compare against the draft's own CFG'd logits for this scale:
-        # recompute via a fresh draft verify on the same inputs
+        _, d_logits, d_vcache = _target_verify_window(
+            eng.draft_cfg, eng.draft_params, si, 1, d_vcache,
+            d_sos, d_lvl, hub_in, samp, eng.dtype,
+        )
         match = float(jnp.mean((d_ids == t_argmax[0]).astype(jnp.float32)))
         report.append({
             "scale": si,
             "match_rate": match,
+            "logit_absdiff_max": float(
+                jnp.max(jnp.abs(d_logits[0] - t_logits[0]))
+            ),
             "target_logit_absmax": float(jnp.max(jnp.abs(t_logits[0]))),
         })
     return report

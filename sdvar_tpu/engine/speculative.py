@@ -493,10 +493,17 @@ class SpeculativeEngine:
                     f_hat=f_hat, next_map=next_map,
                     cache=d_final.cache,
                 )
-                # NOTE: the draft's cached keys for this scale came from its
-                # own (rejected) tokens; the next draft write at this offset
-                # happens at stage+1 whose input is the corrected next_map,
-                # and scale stage's keys are refreshed on the next full pass.
+                # Cache consistency (no stale keys, by construction): KV at
+                # scale s is a pure projection of the INPUT map feeding s,
+                # which derives from scale s-1's tokens — never from s's own
+                # sampled tokens. The resampled scale's keys were therefore
+                # written from an accepted-prefix input and stay correct;
+                # rows of later (rejected) scales are rewritten by the next
+                # window BEFORE they are read (scale_step writes the cache at
+                # [bg, ed) and only then attends over [0, ed)). Proven by
+                # test_resample_exact_target_parity: forcing every scale
+                # through this path reproduces the target-only baseline
+                # decode exactly.
                 stats.resampled_scales += 1
                 stage += 1
                 attempt = 0

@@ -234,3 +234,33 @@ def vq_train_forward(
     # straight-through: gradients flow to f, values come from f_hat
     f_hat_st = f + jax.lax.stop_gradient(f_hat - f_ng)
     return f_hat_st, jnp.stack(hits), loss
+
+
+def update_vocab_hit_ema(
+    ema_SV: jnp.ndarray, hit_SV: jnp.ndarray, record_hit: jnp.ndarray
+) -> jnp.ndarray:
+    """EMA codebook-hit tracker (reference: models/quant.py:88-93).
+
+    ``hit_SV`` must already be summed across data-parallel replicas — inside
+    a pjit'd step ``jax.lax.psum(hit_SV, "data")`` is the TPU-native
+    analogue of the reference's async ``all_reduce`` (quant.py:79), and XLA
+    overlaps it with the surrounding compute automatically.
+    Blend schedule: step 0 copies, steps <100 use 0.9/0.1, then 0.99/0.01.
+    """
+    record_hit = jnp.asarray(record_hit)
+    warm = ema_SV * 0.9 + hit_SV * 0.1
+    slow = ema_SV * 0.99 + hit_SV * 0.01
+    return jnp.where(record_hit == 0, hit_SV,
+                     jnp.where(record_hit < 100, warm, slow))
+
+
+def vocab_usage_per_scale(
+    cfg: VQVAEConfig, ema_SV: jnp.ndarray,
+    batch_tokens: int, world_size: int = 1,
+) -> jnp.ndarray:
+    """Per-scale % of codebook entries in active use (reference margin rule,
+    models/quant.py:100-102): an entry counts as used when its EMA hit count
+    clears ``world * B*H*W / V * 0.08``. ``batch_tokens`` = B*H*W of the
+    final feature map per replica. Returns (SN,) float32 percentages."""
+    margin = world_size * batch_tokens / cfg.vocab_size * 0.08
+    return jnp.mean((ema_SV >= margin).astype(jnp.float32), axis=-1) * 100.0

@@ -404,7 +404,17 @@ def apply_transformer(
     if mods is None:
         cond_pre = cond_six(cfg, params, cond_BD, dtype=jnp.float32)
     depth = cfg.depth
-    dpr = jnp.linspace(0.0, cfg.dpr, depth) if drop_path_key is not None else None
+    training = drop_path_key is not None
+    dpr = jnp.linspace(0.0, cfg.dpr, depth) if (training and cfg.dpr > 0) \
+        else None
+    # proj/FFN-output dropout (reference: basic_var.py proj_drop / FFN drop)
+    do_drop = training and cfg.drop_rate > 0
+
+    def _dropout(t, key, fold):
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(key, fold), 1.0 - cfg.drop_rate, t.shape)
+        return t * keep.astype(t.dtype) / jnp.asarray(
+            1.0 - cfg.drop_rate, t.dtype)
 
     quantized_cache = cache is not None and hasattr(cache, "k_s")
 
@@ -428,6 +438,9 @@ def apply_transformer(
             cache_tuple, cache_begin, kv_len,
             layer_idx=li,
         )
+        if do_drop:
+            a_out = _dropout(a_out, jax.random.fold_in(drop_path_key, li),
+                             0xD0A)
         a_out = a_out * g1
         if dpr is not None:
             rate = dpr[li]
@@ -437,7 +450,11 @@ def apply_transformer(
         h = h + a_out
 
         f_in = _ln(h, cfg.norm_eps) * (1.0 + s2) + sh2
-        f_out = _ffn(cfg, layer, f_in) * g2
+        f_out = _ffn(cfg, layer, f_in)
+        if do_drop:
+            f_out = _dropout(f_out, jax.random.fold_in(drop_path_key, li),
+                             0xD0F)
+        f_out = f_out * g2
         if dpr is not None:
             rate = dpr[li]
             bkey = jax.random.fold_in(drop_path_key, 2 * li + 1)
@@ -561,7 +578,7 @@ def var_train_forward(
     if attn_bias is None:
         attn_bias = jnp.asarray(block_causal_bias(cfg.patch_nums))[:ed, :ed]
     dp_key = None
-    if train_key is not None and cfg.dpr > 0:
+    if train_key is not None and (cfg.dpr > 0 or cfg.drop_rate > 0):
         dp_key = jax.random.fold_in(train_key, 0xD80)
     h, _ = apply_transformer(cfg, params, x, sos, attn_bias=attn_bias,
                              drop_path_key=dp_key)

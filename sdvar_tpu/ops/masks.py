@@ -69,12 +69,8 @@ def prefill_bias(patch_nums: Tuple[int, ...], entry_num: int,
     """
     ends = np.cumsum([pn * pn for pn in patch_nums])
     starts = np.concatenate([[0], ends[:-1]])
-    p = int(ends[entry_num - 1]) if entry_num > 0 else 0
-    # rows of the scale being predicted at the handoff step:
-    sindex, pindex = int(starts[entry_num]), int(ends[entry_num])
-    del sindex, pindex  # kept for documentation; slices below use starts/ends
     P = int(ends[entry_num])  # prefill covers scales [0, entry_num] inputs
-    s = int(starts[entry_num])
+    s = int(starts[entry_num])  # rows of the scale predicted at the handoff
     if sd_mask == 0:
         return None
     if sd_mask in (1, 2):
@@ -87,7 +83,6 @@ def prefill_bias(patch_nums: Tuple[int, ...], entry_num: int,
         raise ValueError(f"sd_mask must be 0..5, got {sd_mask}")
     if sd_mask in (2, 5):
         bias[s:P, :] = 0.0
-    del p
     return bias.astype(np.float32)
 
 

@@ -314,6 +314,12 @@ def main():
         smoke_test()
         return
     D.initialize()  # multi-host bring-up; no-op single-process
+    # console triad (reference utils/misc.py:54-112): tee stdout/stderr to
+    # files, master-gated timestamped print with caller file:line
+    from sdvar_tpu.utils.logging import patch_print, tee_streams
+
+    tee_streams(args.out)
+    patch_print()
     mesh_cfg = (MeshConfig(data=args.mesh_data, model=args.mesh_model)
                 if args.mesh_data > 0 else None)
     tc = TrainConfig(depth=args.depth, global_batch_size=args.bs,

@@ -28,6 +28,69 @@ def is_master() -> bool:
         return True
 
 
+class TeeStream:
+    """Tee a live stream into a file with a restart banner (reference
+    SyncPrint, utils/misc.py:78-112)."""
+
+    def __init__(self, stream, path: str):
+        self.stream = stream
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.f = open(path, "a", buffering=1)
+        self.f.write(
+            f"\n{'=' * 27} program is restarted at "
+            f"{datetime.datetime.now():%Y-%m-%d %H:%M:%S} {'=' * 27}\n"
+        )
+
+    def write(self, s: str):
+        self.stream.write(s)
+        self.f.write(s)
+        return len(s)
+
+    def flush(self):
+        self.stream.flush()
+        self.f.flush()
+
+    def isatty(self):
+        return getattr(self.stream, "isatty", lambda: False)()
+
+    def close(self):
+        self.f.close()
+
+
+def tee_streams(out_dir: str):
+    """Mirror stdout/stderr into ``out_dir/std{out,err}.txt``; returns the
+    two TeeStream objects (reference: utils/misc.py:107-112)."""
+    so = TeeStream(sys.stdout, os.path.join(out_dir, "stdout.txt"))
+    se = TeeStream(sys.stderr, os.path.join(out_dir, "stderr.txt"))
+    sys.stdout, sys.stderr = so, se
+    return so, se
+
+
+def patch_print():
+    """Replace builtins.print with a master-gated variant that prefixes a
+    timestamp and the caller's file:line, with a ``force=True`` override on
+    non-master processes (reference: utils/misc.py:54-75). Returns a
+    restore() callable."""
+    import builtins
+
+    orig = builtins.print
+
+    def tagged_print(*args, force: bool = False, **kwargs):
+        if not (is_master() or force):
+            return
+        fr = sys._getframe(1)
+        caller = f"{os.path.basename(fr.f_code.co_filename)}:{fr.f_lineno}"
+        ts = datetime.datetime.now().strftime("%m-%d %H:%M:%S")
+        orig(f"[{ts}] ({caller})", *args, **kwargs)
+
+    builtins.print = tagged_print
+
+    def restore():
+        builtins.print = orig
+
+    return restore
+
+
 class SmoothedValue:
     """Track a series and provide median/avg/global-avg over a window
     (reference: utils/misc.py:183-242)."""

@@ -48,9 +48,32 @@ def test_logit_diff_probe_selfdraft(eng):
     rep = logit_diff_probe(eng, jnp.array([1]), jax.random.PRNGKey(5),
                            SamplingConfig(cfg=1.5, top_k=1))
     assert len(rep) == len(PNS)
-    # greedy self-draft: target argmax == draft tokens at every scale
+    # greedy self-draft: target argmax == draft tokens at every scale, and
+    # the two models' CFG'd logits on the identical prefix are identical
+    # (the sd_test5 check, tmp/var.py:1026-1029)
     for row in rep:
         assert row["match_rate"] == 1.0, row
+        assert row["logit_absdiff_max"] < 1e-4, row
+        assert row["target_logit_absmax"] > 0
+
+
+def test_logit_diff_probe_distinct_models(eng):
+    """With a genuinely different draft the Δlogits must be visibly nonzero
+    — the probe's reason to exist (catching handoff re-embedding bugs)."""
+    vae_cfg = eng.vae_cfg
+    draft_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                          vocab_size=64, Cvae=8, head_dim=16,
+                          cond_drop_rate=0.0, drop_path_rate=0.0)
+    draft_params = init_var_params(draft_cfg, jax.random.PRNGKey(11))
+    eng2 = SpeculativeEngine(
+        vae_cfg, draft_cfg, eng.target_cfg, eng.vae_params,
+        draft_params, eng.target_params, dtype=jnp.float32,
+    )
+    rep = logit_diff_probe(eng2, jnp.array([1]), jax.random.PRNGKey(5),
+                           SamplingConfig(cfg=1.5, top_k=1),
+                           upto_scale=2)
+    assert len(rep) == 2  # upto_scale=2 honored
+    assert all(row["logit_absdiff_max"] > 1e-2 for row in rep), rep
 
 
 def test_gamma_sweep_telemetry(eng):
