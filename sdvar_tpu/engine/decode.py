@@ -54,11 +54,14 @@ def scale_step(
     samp: SamplingConfig,
     dtype=jnp.bfloat16,
     mods=None,
+    attn_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[DecodeState, jnp.ndarray]:
     """One scale of KV-cached CFG decode. Returns (state', token ids (B, pn^2)).
 
     ``si`` is static — offsets, shapes and masks are compile-time constants.
     ``mods``: optional precomputed AdaLN modulations (shared across scales).
+    ``attn_bias``: optional (pn^2, kv_len) additive bias for this step
+    (default None = attend the whole cache, the baseline behavior).
     """
     pn = var_cfg.patch_nums[si]
     bg, ed = var_cfg.begin_ends[si]
@@ -83,9 +86,13 @@ def scale_step(
     pad_to = min(pad_to, state.cache.k.shape[1] - bg)  # k: (depth, L, B, C)
     if pad_to > n_tok:
         x = jnp.pad(x, ((0, 0), (0, pad_to - n_tok), (0, 0)))
+        if attn_bias is not None:
+            # pad rows attend everything (their output is discarded and
+            # their cache slots are overwritten before any read)
+            attn_bias = jnp.pad(attn_bias, ((0, pad_to - n_tok), (0, 0)))
 
     h, cache = M.apply_transformer(
-        var_cfg, params, x, sos, attn_bias=None,
+        var_cfg, params, x, sos, attn_bias=attn_bias,
         cache=state.cache, cache_begin=bg, kv_len=ed, mods=mods,
     )
     if pad_to > n_tok:

@@ -85,9 +85,11 @@ class SpecStats:
     jax.jit, static_argnames=("var_cfg", "vae_cfg", "si", "samp", "dtype")
 )
 def _draft_scale_step(var_cfg, vae_cfg, params, quant_params, si,
-                      state, sos, lvl_pos, key, samp, dtype, mods=None):
+                      state, sos, lvl_pos, key, samp, dtype, mods=None,
+                      attn_bias=None):
     return scale_step(var_cfg, vae_cfg, params, quant_params, si, state,
-                      sos, lvl_pos, key, samp, dtype, mods=mods)
+                      sos, lvl_pos, key, samp, dtype, mods=mods,
+                      attn_bias=attn_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("var_cfg",))
@@ -190,7 +192,7 @@ def _target_verify_window(
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "entry_num", "sd_mask", "samp",
-                     "dtype"),
+                     "dtype", "ref_quirks"),
 )
 def _target_prefill_handoff(
     var_cfg: VARConfig, vae_cfg: VQVAEConfig, params, quant_params,
@@ -199,13 +201,26 @@ def _target_prefill_handoff(
     hub: Tuple[jnp.ndarray, ...],   # draft continuous maps for scales 1..entry_num
     f_hat: jnp.ndarray,
     key, samp: SamplingConfig, dtype,
+    ref_quirks: bool = False,
 ):
     """Handoff prefill (reference: models/var.py:732-824): one forward over
     the whole drafted prefix [0, ed(entry_num)) with the chosen sd_mask,
-    sampling ONLY the entry scale's tokens from the final slice."""
+    sampling ONLY the entry scale's tokens from the final slice.
+
+    ``ref_quirks`` reproduces the committed reference bit-for-bit instead of
+    the intended algorithm (oracle mode; see generate_handoff):
+      - sd_mask 1..5: the prefill fills the cache, but the entry scale's
+        logits come from the RAW input embeddings — the block outputs are
+        discarded for logits (reference models/var.py:810-812 reassigns
+        ``x = target_next_token_map[:, sindex:pindex]`` after the loop);
+      - sd_mask 0: only the entry slice runs through the blocks, so the
+        drafted prefix never enters the KV cache (models/var.py:817-824);
+        later scales must hide the prefix key columns.
+    """
     pns = var_cfg.patch_nums
     B2 = sos.shape[0]
     B = B2 // 2
+    sbg, sed = var_cfg.begin_ends[entry_num]
 
     qs = [(sos[:, None, :] + jnp.asarray(params["pos_start"])[None]
            + lvl_pos[None, : var_cfg.first_l]).astype(dtype)]
@@ -220,14 +235,25 @@ def _target_prefill_handoff(
     P = var_cfg.begin_ends[entry_num][1]
     np_bias = prefill_bias(pns, entry_num, sd_mask)
     bias = None if np_bias is None else jnp.asarray(np_bias)
+    mods = M.precompute_modulations(var_cfg, params, sos)
 
-    h, cache = M.apply_transformer(
-        var_cfg, params, x, sos, attn_bias=bias,
-        cache=cache, cache_begin=0, kv_len=P,
-        mods=M.precompute_modulations(var_cfg, params, sos),
-    )
-    sbg, sed = var_cfg.begin_ends[entry_num]
-    logits = M.get_logits(var_cfg, params, h[:, sbg:sed], sos)
+    if ref_quirks and sd_mask == 0:
+        from sdvar_tpu.ops.masks import hidden_prefix_decode_bias
+
+        h, cache = M.apply_transformer(
+            var_cfg, params, x[:, sbg:sed], sos,
+            attn_bias=jnp.asarray(
+                hidden_prefix_decode_bias(pns, entry_num, sbg)),
+            cache=cache, cache_begin=sbg, kv_len=sed, mods=mods,
+        )
+        logits = M.get_logits(var_cfg, params, h, sos)
+    else:
+        h, cache = M.apply_transformer(
+            var_cfg, params, x, sos, attn_bias=bias,
+            cache=cache, cache_begin=0, kv_len=P, mods=mods,
+        )
+        src = x if (ref_quirks and sd_mask != 0) else h
+        logits = M.get_logits(var_cfg, params, src[:, sbg:sed], sos)
 
     si = entry_num
     ratio = si / var_cfg.num_stages_minus_1
@@ -534,10 +560,18 @@ class SpeculativeEngine:
         self, label_B: jnp.ndarray, key: jax.Array,
         entry_num: int = 4, sd_mask: int = 0,
         samp: SamplingConfig = SamplingConfig(),
+        ref_quirks: bool = False,
     ) -> Tuple[jnp.ndarray, SpecStats]:
         """Static draft→target handoff (reference sd_test3,
         models/var.py:604-865): draft generates scales [0, entry_num), target
         prefills that prefix (mask mode sd_mask) and finishes [entry_num, S).
+
+        Default = the INTENDED algorithm (entry logits from the transformer
+        output; the prefix always in the cache). ``ref_quirks=True``
+        reproduces the committed reference exactly — raw-embedding logits at
+        the entry scale for masks 1..5, prefix-free cache for mask 0 — used
+        by the mid-size oracle tests for bit-parity against the real
+        sd_test3 (see _target_prefill_handoff docstring).
         """
         stats = SpecStats()
         S = self.num_scales
@@ -562,15 +596,24 @@ class SpeculativeEngine:
             self.quant_params, entry_num, sd_mask,
             t_state.cache, t_sos, t_lvl, tuple(hub),
             d_state.f_hat, tkey, samp, self.dtype,
+            ref_quirks=ref_quirks,
         )
         stats.target_calls += 1
 
+        hide_upto = (self.target_cfg.begin_ends[entry_num][0]
+                     if ref_quirks and sd_mask == 0 else 0)
         t_mods = _precompute_mods(self.target_cfg, self.target_params, t_sos)
         for si in range(entry_num + 1, S):
+            bias = None
+            if hide_upto:
+                from sdvar_tpu.ops.masks import hidden_prefix_decode_bias
+
+                bias = jnp.asarray(hidden_prefix_decode_bias(
+                    self.target_cfg.patch_nums, si, hide_upto))
             state, _ = _draft_scale_step(
                 self.target_cfg, self.vae_cfg, self.target_params,
                 self.quant_params, si, state, t_sos, t_lvl, tkey, samp,
-                self.dtype, mods=t_mods,
+                self.dtype, mods=t_mods, attn_bias=bias,
             )
             stats.target_calls += 1
         return state.f_hat, stats

@@ -87,6 +87,23 @@ def prefill_bias(patch_nums: Tuple[int, ...], entry_num: int,
 
 
 @functools.lru_cache(maxsize=None)
+def hidden_prefix_decode_bias(patch_nums: Tuple[int, ...], si: int,
+                              hide_upto: int) -> np.ndarray:
+    """(pn_si^2, ed_si) decode-step bias hiding key columns [0, hide_upto).
+
+    Emulates the committed reference sd_test3 mode-0 cache, which never
+    contains the drafted prefix (the entry forward runs on the entry slice
+    alone, models/var.py:817-824), so every later scale attends only keys
+    from the entry scale onward."""
+    ends = np.cumsum([pn * pn for pn in patch_nums])
+    ed = int(ends[si])
+    n = patch_nums[si] ** 2
+    bias = np.zeros((n, ed), dtype=np.float32)
+    bias[:, :hide_upto] = NEG_INF
+    return bias
+
+
+@functools.lru_cache(maxsize=None)
 def verify_window_bias(patch_nums: Tuple[int, ...], start_scale: int,
                        gamma: int, kv_len: int) -> np.ndarray:
     """(Lq, kv_len) bias for batched verification of ``gamma`` scales
