@@ -242,6 +242,8 @@ class TrainConfig:
     workers: int = 0
     seed: Optional[int] = None
     bf16: bool = True
+    remat: bool = False   # per-layer gradient rematerialization (activation
+                          # memory O(1) layers; ~1/3 extra fwd FLOPs)
     saln_every: int = 10          # save/eval cadence in epochs (train.py:208-231)
     # progressive training (reference: arg_util.py:79-81, train.py:286-301)
     pg: float = 0.0               # >0: progressive over [0, pg] of training

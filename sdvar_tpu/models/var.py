@@ -311,19 +311,29 @@ def _attention(
         ck, cv, cks, cvs = cache_kv
         kq, kts = quantize_tokens(k.reshape(B, L, C).transpose(1, 0, 2))
         vq, vts = quantize_tokens(v.reshape(B, L, C).transpose(1, 0, 2))
-        ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, cache_begin, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, cache_begin, 0, 0))
-        cks = jax.lax.dynamic_update_slice(cks, kts.T[None], (layer_idx, 0, cache_begin))
-        cvs = jax.lax.dynamic_update_slice(cvs, vts.T[None], (layer_idx, 0, cache_begin))
-        new_cache = (ck, cv, cks, cvs)
         if use_cache_kernel():
-            from sdvar_tpu.ops.pallas.attention import pallas_attention_cache
-
-            out = pallas_attention_cache(
-                q, ck, cv, layer_idx, kv_len, attn_bias, scale,
-                kv_scales=(cks, cvs),
+            # in-kernel cache write: new KV (and scales) are DMA'd into the
+            # cache inside the kernel; the cache is aliased through the
+            # call, so the scan carry keeps one buffer (no XLA DUS, no
+            # copied custom-call operand)
+            from sdvar_tpu.ops.pallas.attention import (
+                pallas_attention_cache_write,
             )
+
+            res = pallas_attention_cache_write(
+                q, kq, vq, ck, cv, layer_idx, cache_begin, kv_len,
+                attn_bias, scale,
+                new_scales=(kts.T, vts.T), cache_scales=(cks, cvs),
+            )
+            if res is not None:
+                out, ck, cv, cks, cvs = res
+                new_cache = (ck, cv, cks, cvs)
         if out is None:
+            ck = jax.lax.dynamic_update_slice(ck, kq[None], (layer_idx, cache_begin, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq[None], (layer_idx, cache_begin, 0, 0))
+            cks = jax.lax.dynamic_update_slice(cks, kts.T[None], (layer_idx, 0, cache_begin))
+            cvs = jax.lax.dynamic_update_slice(cvs, vts.T[None], (layer_idx, 0, cache_begin))
+            new_cache = (ck, cv, cks, cvs)
             ks = jax.lax.dynamic_slice(ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
             vs = jax.lax.dynamic_slice(cv, (layer_idx, 0, 0, 0), (1, kv_len, B, C))[0]
             kss = jax.lax.dynamic_slice(cks, (layer_idx, 0, 0), (1, B, kv_len))[0]
@@ -334,24 +344,24 @@ def _attention(
             kv_token_major = True
     elif cache_kv is not None:
         ck, cv = cache_kv  # (depth, L_max, B, C) token-major merged heads
-        km = k.reshape(B, L, C).transpose(1, 0, 2).astype(ck.dtype)[None]
-        vm = v.reshape(B, L, C).transpose(1, 0, 2).astype(cv.dtype)[None]
-        ck = jax.lax.dynamic_update_slice(ck, km, (layer_idx, cache_begin, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vm, (layer_idx, cache_begin, 0, 0))
-        new_cache = (ck, cv)
-        # sliced-operand pallas forces a full copy of the slice per layer;
-        # the full-cache kernel DMAs from the cache directly. Only where the
-        # dispatch would pick pallas anyway (XLA fuses the slice itself).
-        from sdvar_tpu.ops.attention import get_attention_impl
-
-        if use_cache_kernel() and get_attention_impl(L, kv_len) == "pallas":
-            from sdvar_tpu.ops.pallas.attention import pallas_attention_cache
-
-            out = pallas_attention_cache(
-                q.astype(x.dtype), ck, cv, layer_idx, kv_len, attn_bias,
-                scale,
+        km = k.reshape(B, L, C).transpose(1, 0, 2).astype(ck.dtype)
+        vm = v.reshape(B, L, C).transpose(1, 0, 2).astype(cv.dtype)
+        if use_cache_kernel():
+            from sdvar_tpu.ops.pallas.attention import (
+                pallas_attention_cache_write,
             )
+
+            res = pallas_attention_cache_write(
+                q.astype(x.dtype), km, vm, ck, cv, layer_idx,
+                cache_begin, kv_len, attn_bias, scale,
+            )
+            if res is not None:
+                out, ck, cv = res
+                new_cache = (ck, cv)
         if out is None:
+            ck = jax.lax.dynamic_update_slice(ck, km[None], (layer_idx, cache_begin, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vm[None], (layer_idx, cache_begin, 0, 0))
+            new_cache = (ck, cv)
             ks = jax.lax.dynamic_slice(
                 ck, (layer_idx, 0, 0, 0), (1, kv_len, B, C)
             )[0]
@@ -388,8 +398,15 @@ def apply_transformer(
     cache_begin: int = 0, kv_len: int = 0,
     drop_path_key: Optional[jax.Array] = None,
     mods: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the block stack via lax.scan over stacked layer params.
+
+    ``remat``: rematerialize each layer in the backward pass
+    (jax.checkpoint over the scan body) — activation memory drops from
+    O(depth) to O(1) layers at ~1/3 extra FLOPs, the standard trade for
+    training d30/d36 at production batch sizes (the reference leans on
+    smaller per-GPU batches instead).
 
     x: (B, L, C) in compute dtype; cond_BD: (B, D) raw class embedding.
     attn_bias: optional (Lq, Lk) additive bias, shared across batch/heads.
@@ -468,6 +485,8 @@ def apply_transformer(
 
     li = jnp.arange(depth)
     xs = (params["blocks"], li, mods)  # a None mods leaf scans as None
+    if remat and cache is None:
+        body = jax.checkpoint(body, prevent_cse=False)
     if cache is not None:
         # cache rides the CARRY (same buffer updated in place layer by
         # layer), not the scan ys — ys would allocate a second full cache.
@@ -544,6 +563,7 @@ def var_train_forward(
     attn_bias: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     prog_si: int = -1,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forcing forward -> logits (B, L', V)
     (reference: models/var.py:217-259).
@@ -581,7 +601,7 @@ def var_train_forward(
     if train_key is not None and (cfg.dpr > 0 or cfg.drop_rate > 0):
         dp_key = jax.random.fold_in(train_key, 0xD80)
     h, _ = apply_transformer(cfg, params, x, sos, attn_bias=attn_bias,
-                             drop_path_key=dp_key)
+                             drop_path_key=dp_key, remat=remat)
     return get_logits(cfg, params, h, sos)
 
 

@@ -387,6 +387,266 @@ def pallas_attention_cache(
     return out.reshape(B, Lq, H, hd)
 
 
+def _write_kernel(li_ref, q_ref, knew_ref, vnew_ref, ck_in, cv_in, *rest,
+                  scale, hpp, hd, bg, Lq, Lk, Lk_pad, lanes_per_b,
+                  has_scales, has_bias):
+    """Cache-WRITE variant (VERDICT round-1 item #7): the new tokens' KV are
+    written into the layer-stacked cache INSIDE the kernel (explicit DMA to
+    the ANY-space refs), and attention then reads [0, Lk_pad) back from the
+    same buffer. The cache flows through the pallas_call via
+    input_output_aliases, so the scan-carried cache keeps one buffer end to
+    end — no XLA dynamic_update_slice, no conservatively-copied custom-call
+    operand (the 1870 ms failure mode of the read-only cache kernel).
+
+    rest layout: [kts_ref, vts_ref (B, Lq) f32, cks_in, cvs_in] if
+    has_scales, [bias_ref (blkq, Lk_pad)] if has_bias, then outputs
+    [o_ref, ck_out, cv_out, (cks_out, cvs_out)] and scratch
+    [k_tile, v_tile, (ks_row, vs_row), sem_w, sem_r].
+    """
+    del ck_in, cv_in  # aliased: all access goes through the out refs
+    it = iter(rest)
+    kts_ref = next(it) if has_scales else None
+    vts_ref = next(it) if has_scales else None
+    if has_scales:
+        next(it), next(it)  # cks_in, cvs_in (aliased)
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+    ck_out = next(it)
+    cv_out = next(it)
+    cks_out = next(it) if has_scales else None
+    cvs_out = next(it) if has_scales else None
+    k_tile = next(it)
+    v_tile = next(it)
+    ks_row = next(it) if has_scales else None
+    vs_row = next(it) if has_scales else None
+    sem_w = next(it)
+    sem_r = next(it)
+
+    li = li_ref[0]
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    lane0 = (b * lanes_per_b + h) * hpp * hd
+
+    # -- write this (batch, head-group) lane window's new rows ------------
+    @pl.when(i == 0)
+    def _write():
+        wk = pltpu.make_async_copy(
+            knew_ref, ck_out.at[li, pl.ds(bg, Lq), pl.ds(lane0, hpp * hd)],
+            sem_w)
+        wv = pltpu.make_async_copy(
+            vnew_ref, cv_out.at[li, pl.ds(bg, Lq), pl.ds(lane0, hpp * hd)],
+            sem_w)
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    if has_scales:
+        @pl.when(jnp.logical_and(i == 0,
+                                 jnp.logical_and(b == 0, h == 0)))
+        def _write_scales():
+            wk = pltpu.make_async_copy(
+                kts_ref, cks_out.at[li, :, pl.ds(bg, Lq)], sem_w)
+            wv = pltpu.make_async_copy(
+                vts_ref, cvs_out.at[li, :, pl.ds(bg, Lq)], sem_w)
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+    # -- read the live window back into VMEM ------------------------------
+    rk = pltpu.make_async_copy(
+        ck_out.at[li, pl.ds(0, Lk_pad), pl.ds(lane0, hpp * hd)], k_tile,
+        sem_r)
+    rv = pltpu.make_async_copy(
+        cv_out.at[li, pl.ds(0, Lk_pad), pl.ds(lane0, hpp * hd)], v_tile,
+        sem_r)
+    rk.start()
+    rv.start()
+    if has_scales:
+        rks = pltpu.make_async_copy(
+            cks_out.at[li, pl.ds(b, 1), pl.ds(0, Lk_pad)], ks_row, sem_r)
+        rvs = pltpu.make_async_copy(
+            cvs_out.at[li, pl.ds(b, 1), pl.ds(0, Lk_pad)], vs_row, sem_r)
+        rks.start()
+        rvs.start()
+        rks.wait()
+        rvs.wait()
+    rk.wait()
+    rv.wait()
+
+    q = q_ref[0]
+    k = k_tile[...]
+    v = v_tile[...]
+    ks = ks_row[...] if has_scales else None  # (1, Lk_pad)
+    vs = vs_row[...] if has_scales else None
+    pad_mask = None
+    if Lk_pad > Lk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Lk_pad), 1)
+        pad_mask = col >= Lk
+    outs = []
+    for j in range(hpp):
+        sl = slice(j * hd, (j + 1) * hd)
+        kj = k[:, sl]
+        if kj.dtype == jnp.int8:
+            kj = kj.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q[:, sl], kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if ks is not None:
+            s = s * ks
+        if bias_ref is not None:
+            s = s + bias_ref[...]
+        if pad_mask is not None:
+            s = jnp.where(pad_mask, -jnp.inf, s)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if vs is not None:
+            p = p * vs
+        vj = v[:, sl]
+        pv_dtype = q.dtype if vj.dtype == jnp.int8 else vj.dtype
+        o = jax.lax.dot_general(
+            p.astype(pv_dtype), vj.astype(pv_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / jnp.maximum(l, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def pallas_attention_cache_write(
+    q: jnp.ndarray,            # (B, Lq, H, hd) compute dtype
+    k_new: jnp.ndarray,        # (Lq, B, C) token-major, cache dtype
+    v_new: jnp.ndarray,
+    cache_k: jnp.ndarray,      # (depth, L_max, B, C)
+    cache_v: jnp.ndarray,
+    layer_idx: jnp.ndarray,    # traced int32 scalar (scan carry)
+    cache_begin: int, kv_len: int,
+    bias: Optional[jnp.ndarray] = None,   # (Lq, kv_len)
+    scale: float = 1.0,
+    new_scales=None,           # ((B, Lq), (B, Lq)) f32 when int8
+    cache_scales=None,         # ((depth, B, L_max), (depth, B, L_max)) f32
+    interpret: bool = False,
+):
+    """Fused cache-update + attention. Returns (out, cache_k, cache_v
+    [, cks, cvs]) with the caches aliased through the call, or None when the
+    shapes don't fit the tiling rules (caller falls back)."""
+    B, Lq, H, hd = q.shape
+    depth, Lmax = cache_k.shape[0], cache_k.shape[1]
+    C = H * hd
+    hpp = 1
+    for h in range(2, 9):
+        if H % h == 0 and (h * hd) % 128 == 0:
+            hpp = h
+    blk = hpp * hd
+    Lk = kv_len
+    Lk_pad = min(-(-Lk // 8) * 8, Lmax)
+    if Lk_pad < Lk:
+        return None
+    blkq = Lq
+    if Lq * Lk_pad * 4 > 4 * 1024 * 1024 or Lq > 256:
+        best = None
+        for d in range(8, min(Lq, 256) + 1, 8):
+            if Lq % d == 0 and d * Lk_pad * 4 <= 4 * 1024 * 1024:
+                best = d
+        if best is None:
+            return None
+        blkq = best
+    nq = Lq // blkq
+    has_scales = cache_scales is not None
+
+    qm = q.reshape(B, Lq, C)
+    km3 = cache_k.reshape(depth, Lmax, B * C)
+    vm3 = cache_v.reshape(depth, Lmax, B * C)
+    knew2 = k_new.reshape(Lq, B * C)
+    vnew2 = v_new.reshape(Lq, B * C)
+    lanes_per_b = C // blk
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    qspec = pl.BlockSpec((1, blkq, blk), lambda b, h, i, s: (b, i, h),
+                         memory_space=pltpu.VMEM)
+    newspec = pl.BlockSpec((Lq, blk),
+                           lambda b, h, i, s: (0, b * lanes_per_b + h),
+                           memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    ospec = pl.BlockSpec((1, blkq, blk), lambda b, h, i, s: (b, i, h),
+                         memory_space=pltpu.VMEM)
+
+    inputs = [qm, knew2, vnew2, km3, vm3]
+    in_specs = [qspec, newspec, newspec, anyspec, anyspec]
+    # alias indices count the scalar-prefetch operand (li = 0)
+    aliases = {4: 1, 5: 2}
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+        jax.ShapeDtypeStruct(km3.shape, km3.dtype),
+        jax.ShapeDtypeStruct(vm3.shape, vm3.dtype),
+    ]
+    out_specs = [ospec, anyspec, anyspec]
+    if has_scales:
+        kts, vts = new_scales
+        cks, cvs = cache_scales
+        tsspec = pl.BlockSpec((B, Lq), lambda b, h, i, s: (0, 0),
+                              memory_space=pltpu.VMEM)
+        inputs += [kts.astype(jnp.float32), vts.astype(jnp.float32),
+                   cks, cvs]
+        in_specs += [tsspec, tsspec, anyspec, anyspec]
+        aliases[8] = 3
+        aliases[9] = 4
+        out_shapes += [jax.ShapeDtypeStruct(cks.shape, cks.dtype),
+                       jax.ShapeDtypeStruct(cvs.shape, cvs.dtype)]
+        out_specs += [anyspec, anyspec]
+    if bias is not None:
+        bpad = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, Lk_pad - Lk)))
+        inputs.append(bpad)
+        in_specs.append(pl.BlockSpec((blkq, Lk_pad),
+                                     lambda b, h, i, s: (i, 0),
+                                     memory_space=pltpu.VMEM))
+
+    scratch = [
+        pltpu.VMEM((Lk_pad, blk), cache_k.dtype),
+        pltpu.VMEM((Lk_pad, blk), cache_v.dtype),
+    ]
+    if has_scales:
+        scratch += [pltpu.VMEM((1, Lk_pad), jnp.float32),
+                    pltpu.VMEM((1, Lk_pad), jnp.float32)]
+    scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * H * Lq * Lk_pad * hd,
+        bytes_accessed=(2 * B * Lq * C
+                        + 2 * B * Lk_pad * C * cache_k.dtype.itemsize),
+        transcendentals=B * H * Lq * Lk_pad,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _write_kernel, scale=scale, hpp=hpp, hd=hd, bg=cache_begin,
+            Lq=Lq, Lk=Lk, Lk_pad=Lk_pad, lanes_per_b=lanes_per_b,
+            has_scales=has_scales, has_bias=bias is not None),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // hpp, nq),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        out_shape=tuple(out_shapes),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(li, *inputs)
+    out = outs[0].reshape(B, Lq, H, hd)
+    ck = outs[1].reshape(depth, Lmax, B, C)
+    cv = outs[2].reshape(depth, Lmax, B, C)
+    if has_scales:
+        return out, ck, cv, outs[3], outs[4]
+    return out, ck, cv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention_vjp(q, k, v, bias, scale, interpret, tm):
     return _pallas_forward(q, k, v, bias, scale, interpret, tm)

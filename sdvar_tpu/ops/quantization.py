@@ -47,6 +47,19 @@ class W8A8Linear(NamedTuple):
     scale: jnp.ndarray   # f32, (out,)  (or (depth, out))
 
 
+class FP8Linear(NamedTuple):
+    """float8_e4m3 weight + per-output-channel f32 scale, bf16 compute
+    (dequant fused into the MXU feed like the int8 path). Same byte
+    footprint as INT8; e4m3 trades the int grid's uniform steps for 3-bit
+    mantissa precision concentrated near zero (north star: "INT8/FP8")."""
+
+    q: jnp.ndarray       # float8_e4m3fn, (in, out) (or (depth, in, out))
+    scale: jnp.ndarray   # f32, (out,)  (or (depth, out))
+
+
+FP8_MAX = 448.0  # largest finite e4m3 value
+
+
 def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedLinear:
     """Symmetric per-output-channel int8: amax over the INPUT axis."""
     amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
@@ -55,6 +68,14 @@ def quantize_weight(w: jnp.ndarray, axis: int = -2) -> QuantizedLinear:
         jnp.int8
     )
     return QuantizedLinear(q=q, scale=jnp.squeeze(scale, axis=axis))
+
+
+def quantize_weight_fp8(w: jnp.ndarray, axis: int = -2) -> FP8Linear:
+    """Symmetric per-output-channel e4m3: amax maps to FP8_MAX."""
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = (amax / FP8_MAX).astype(jnp.float32)
+    q = (w / jnp.maximum(scale, 1e-12)).astype(jnp.float8_e4m3fn)
+    return FP8Linear(q=q, scale=jnp.squeeze(scale, axis=axis))
 
 
 def dequantize_weight(qw, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -79,21 +100,25 @@ def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
 
     ``mode``: "w8" = weight-only INT8 (activations bf16); "w8a8" = also
     quantize activations per token at each block matmul (W8A8Linear leaves,
-    2x MXU rate on TPU). The same pytree runs through the same forward
-    code — models/var.py resolves quantized leaves via ``resolve_weight``.
+    2x MXU rate on TPU); "fp8" = weight-only float8_e4m3 storage with bf16
+    compute (same bytes as w8; no 2x MXU path on v5e — int8 is the hardware
+    fast path there, e4m3 exists for quality comparison and fp8-native
+    chips). The same pytree runs through the same forward code —
+    models/var.py resolves quantized leaves via ``resolve_weight``.
     """
-    assert mode in ("w8", "w8a8"), mode
+    assert mode in ("w8", "w8a8", "fp8"), mode
+    qfn = quantize_weight_fp8 if mode == "fp8" else quantize_weight
     out = dict(params)
     blocks = dict(params["blocks"])
     for k in keys:
         if k in blocks:
-            qw = quantize_weight(blocks[k], axis=-2)
+            qw = qfn(blocks[k], axis=-2)
             if mode == "w8a8" and k in W8A8_KEYS:
                 qw = W8A8Linear(*qw)
             blocks[k] = qw
     out["blocks"] = blocks
     if quantize_head:
-        hw = quantize_weight(params["head"]["w"], axis=-2)
+        hw = qfn(params["head"]["w"], axis=-2)
         if mode == "w8a8" and act_head:
             hw = W8A8Linear(*hw)
         out["head"] = {"w": hw, "b": params["head"]["b"]}
@@ -102,7 +127,7 @@ def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
 
 def resolve_weight(w, dtype) -> jnp.ndarray:
     """Quantized leaf -> dequantized matrix; plain arrays pass through."""
-    if isinstance(w, (QuantizedLinear, W8A8Linear)):
+    if isinstance(w, (QuantizedLinear, W8A8Linear, FP8Linear)):
         return dequantize_weight(w, dtype)
     if isinstance(w, (tuple,)) and len(w) == 2 and hasattr(w[0], "dtype") \
             and w[0].dtype == jnp.int8:

@@ -202,6 +202,7 @@ def run_training(
             clip=tc.grad_clip, label_smooth=tc.label_smooth,
             grad_accum=tc.grad_accum, dtype=dtype,
             prog_si=prog_si, prog_wp=jnp.asarray(prog_wp, jnp.float32),
+            remat=tc.remat,
         )
         g_it += 1
         if g_it % 10 == 0 or g_it == 1:

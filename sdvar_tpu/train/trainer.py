@@ -92,6 +92,7 @@ def loss_and_metrics(
     dtype=jnp.bfloat16,
     prog_si: int = -1,
     prog_wp: float | jnp.ndarray = 1.0,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Token-weighted CE (reference: trainer.py:112-120) + logging metrics.
 
@@ -102,7 +103,7 @@ def loss_and_metrics(
     L = var_cfg.L
     logits = var_train_forward(var_cfg, params, label_B, x_in,
                                train_key=train_key, dtype=dtype,
-                               prog_si=prog_si)
+                               prog_si=prog_si, remat=remat)
     ed = L if prog_si < 0 else var_cfg.begin_ends[prog_si][1]
     gt = gt_BL[:, :ed]
     ce = _ce_with_smoothing(logits, gt, label_smooth)  # (B, ed)
@@ -140,7 +141,7 @@ def loss_and_metrics(
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
-                     "grad_accum", "dtype", "prog_si"),
+                     "grad_accum", "dtype", "prog_si", "remat"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -151,6 +152,7 @@ def train_step(
     clip: float = 2.0, label_smooth: float = 0.0,
     grad_accum: int = 1, dtype=jnp.bfloat16,
     prog_si: int = -1, prog_wp: float | jnp.ndarray = 1.0,
+    remat: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """One full training step: tokenize -> forward/backward (optionally
     scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW."""
@@ -166,7 +168,7 @@ def train_step(
         )
         return loss_and_metrics(
             var_cfg, params, label_mb, x_in, gt_BL, key, label_smooth,
-            dtype=dtype, prog_si=prog_si, prog_wp=prog_wp,
+            dtype=dtype, prog_si=prog_si, prog_wp=prog_wp, remat=remat,
         )
 
     grad_fn = jax.value_and_grad(

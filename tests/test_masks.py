@@ -68,3 +68,45 @@ def test_verify_window_bias():
     assert np.all(b[4:, :] == 0)
     # intra-window block-causal: scale-1 queries see scale-1 keys
     assert np.all(b[:4, 1:5] == 0)
+
+
+def test_mask_family_1024px_schedule():
+    """The mask family at the 1024px preset (L=9451, 14 scales) — the
+    largest schedule the framework ships (reference: utils/arg_util.py:249).
+    Shapes and block invariants only (the full (L, L) train mask is 340 MB
+    f32, so spot-check rows instead of materializing twice)."""
+    from sdvar_tpu.config import PATCH_NUMS_1024
+    from sdvar_tpu.ops.masks import (
+        hidden_prefix_decode_bias,
+        scale_ids,
+    )
+
+    pns = PATCH_NUMS_1024
+    L1024 = sum(p * p for p in pns)
+    assert L1024 == 9451
+    d = scale_ids(pns)
+    assert d.shape == (L1024,) and d[-1] == len(pns) - 1
+
+    # verify-window bias for the last two scales (the largest window)
+    g = 2
+    start = len(pns) - g
+    kv = L1024
+    b = verify_window_bias(pns, start, g, kv)
+    Lq = pns[-2] ** 2 + pns[-1] ** 2
+    assert b.shape == (Lq, kv)
+    prefix = kv - Lq
+    assert np.all(b[:, :prefix] == 0)
+    # first window scale cannot see the second
+    assert np.all(b[: pns[-2] ** 2, prefix + pns[-2] ** 2:] == -np.inf)
+
+    # prefill bias at a mid handoff point stays block-structured
+    entry = 7
+    P = int(np.cumsum([p * p for p in pns])[entry])
+    pb = prefill_bias(pns, entry, 3)
+    assert pb.shape == (P, P)
+    # block-causal: first token sees only itself
+    assert pb[0, 0] == 0 and np.all(pb[0, 1:] == -np.inf)
+
+    hp = hidden_prefix_decode_bias(pns, len(pns) - 1, 100)
+    assert hp.shape == (pns[-1] ** 2, L1024)
+    assert np.all(hp[:, :100] == -np.inf) and np.all(hp[:, 100:] == 0)

@@ -177,7 +177,7 @@ def test_gamma_selfdraft_bitparity_fullschedule(stack, gamma):
 
 
 @pytest.mark.parametrize("mode,kv", [("w8", "bf16"), ("w8a8", "bf16"),
-                                     ("w8", "int8")])
+                                     ("w8", "int8"), ("fp8", "bf16")])
 def test_quant_token_agreement_fullschedule(stack, mode, kv):
     """Quantized decode must track the f32 decode's tokens at full L
     (BASELINE config #3 quality gate; thresholds follow the measured

@@ -153,6 +153,85 @@ def test_full_cache_kernel(kv_len, Lq, int8, with_bias):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bg,Lq,kv_len,int8,with_bias", [
+    (5, 9, 14, False, False),
+    (14, 16, 30, False, True),
+    (21, 8, 29, True, False),
+    (0, 8, 8, True, True),
+])
+def test_cache_write_kernel(bg, Lq, kv_len, int8, with_bias):
+    """pallas_attention_cache_write: in-kernel DMA of the new tokens' KV
+    (+scales) into the aliased cache, then attention over [0, kv_len) ==
+    update-then-slice-then-attend (VERDICT round-1 item #7)."""
+    from sdvar_tpu.ops.pallas.attention import pallas_attention_cache_write
+    from sdvar_tpu.ops.quantization import quantize_tokens
+
+    depth, Lmax, B, H, d = 3, 48, 2, 2, 64
+    C = H * d
+    li = 1
+    q = _rand((B, Lq, H, d), 90)
+    knew_f = _rand((Lq, B, C), 91)
+    vnew_f = _rand((Lq, B, C), 92)
+    bias = None
+    if with_bias:
+        bias = jnp.asarray(
+            np.where(np.random.default_rng(9).random((Lq, kv_len)) < 0.3,
+                     -np.inf, 0.0).astype(np.float32))
+    if int8:
+        ckf = _rand((depth, Lmax, B, C), 93)
+        cvf = _rand((depth, Lmax, B, C), 94)
+        ck, cks_lm = quantize_tokens(ckf)     # values + (depth, Lmax, B)
+        cv, cvs_lm = quantize_tokens(cvf)
+        cks, cvs = cks_lm.transpose(0, 2, 1), cvs_lm.transpose(0, 2, 1)
+        kq, kts = quantize_tokens(knew_f)     # (Lq, B, C), (Lq, B)
+        vq, vts = quantize_tokens(vnew_f)
+        res = pallas_attention_cache_write(
+            q, kq, vq, ck.reshape(depth, Lmax, B, H, d),
+            cv.reshape(depth, Lmax, B, H, d),
+            jnp.asarray(li, jnp.int32), bg, kv_len, bias, 0.125,
+            new_scales=(kts.T, vts.T), cache_scales=(cks, cvs),
+            interpret=True)
+        assert res is not None
+        out, ck2, cv2, cks2, cvs2 = res
+        # reference: numpy update, dequant, attend
+        ckr, cvr = np.asarray(ck).copy(), np.asarray(cv).copy()
+        ckr[li, bg:bg + Lq] = np.asarray(kq)
+        cvr[li, bg:bg + Lq] = np.asarray(vq)
+        cksr, cvsr = np.asarray(cks).copy(), np.asarray(cvs).copy()
+        cksr[li, :, bg:bg + Lq] = np.asarray(kts.T)
+        cvsr[li, :, bg:bg + Lq] = np.asarray(vts.T)
+        k_deq = ckr[li, :kv_len] * cksr[li].T[:kv_len, :, None]
+        v_deq = cvr[li, :kv_len] * cvsr[li].T[:kv_len, :, None]
+        np.testing.assert_array_equal(
+            np.asarray(ck2).reshape(depth, Lmax, B, C), ckr)
+        np.testing.assert_array_equal(np.asarray(cks2), cksr)
+        np.testing.assert_array_equal(np.asarray(cvs2), cvsr)
+    else:
+        ck = _rand((depth, Lmax, B, C), 93)
+        cv = _rand((depth, Lmax, B, C), 94)
+        res = pallas_attention_cache_write(
+            q, knew_f, vnew_f, ck.reshape(depth, Lmax, B, H, d),
+            cv.reshape(depth, Lmax, B, H, d),
+            jnp.asarray(li, jnp.int32), bg, kv_len, bias, 0.125,
+            interpret=True)
+        assert res is not None
+        out, ck2, cv2 = res
+        ckr, cvr = np.asarray(ck).copy(), np.asarray(cv).copy()
+        ckr[li, bg:bg + Lq] = np.asarray(knew_f)
+        cvr[li, bg:bg + Lq] = np.asarray(vnew_f)
+        k_deq, v_deq = ckr[li, :kv_len], cvr[li, :kv_len]
+        np.testing.assert_array_equal(
+            np.asarray(ck2).reshape(depth, Lmax, B, C), ckr)
+        np.testing.assert_array_equal(
+            np.asarray(cv2).reshape(depth, Lmax, B, C), cvr)
+    ref = _xla_attention(
+        q, jnp.asarray(k_deq.reshape(kv_len, B, H, d)).transpose(1, 0, 2, 3),
+        jnp.asarray(v_deq.reshape(kv_len, B, H, d)).transpose(1, 0, 2, 3),
+        bias, 0.125)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_gradients_match_xla():
     """custom_vjp backward (XLA recompute) == differentiating the XLA path."""
     B, H, d, Lq, Lk = 1, 2, 64, 6, 14

@@ -32,6 +32,56 @@ def test_weight_roundtrip_error_bound():
     assert np.all(err <= bound)
 
 
+def test_fp8_weight_roundtrip_error_bound():
+    """e4m3 storage: relative error per element bounded by the 3-bit
+    mantissa step (2^-4 of the value's binade) plus the channel scale."""
+    from sdvar_tpu.ops.quantization import FP8Linear, quantize_weight_fp8
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qw = quantize_weight_fp8(w)
+    assert isinstance(qw, FP8Linear) and qw.q.dtype == jnp.float8_e4m3fn
+    deq = dequantize_weight(qw, jnp.float32)
+    err = np.abs(np.asarray(w - deq))
+    # e4m3 round-off <= 2^-4 relative for normal values; subnormal floor
+    # is scale * 2^-9
+    bound = np.abs(np.asarray(w)) * (2.0 ** -4) \
+        + np.asarray(qw.scale)[None, :] * (2.0 ** -9) + 1e-7
+    assert np.all(err <= bound), err.max()
+
+
+def test_fp8_forward_and_decode(stack_fp8_placeholder=None):
+    """fp8 params run the same forward/decode code paths as w8 with close
+    numerics (north star: 'INT8/FP8')."""
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    var_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                        vocab_size=64, Cvae=8, attn_l2_norm=True,
+                        cond_drop_rate=0.0, drop_path_rate=0.0, head_dim=32)
+    key = jax.random.PRNGKey(3)
+    params = init_var_params(var_cfg, key)
+    params["head"]["w"] = params["head"]["w"] * 30.0
+    quant = init_quantizer_params(vae_cfg, key, eini=1.0)
+
+    qparams = quantize_var_params(params, mode="fp8")
+    x = jax.random.normal(jax.random.PRNGKey(5),
+                          (2, var_cfg.L - 1, var_cfg.Cvae))
+    lbl = jnp.array([1, 2])
+    ref = np.asarray(var_train_forward(var_cfg, params, lbl, x))
+    got = np.asarray(var_train_forward(var_cfg, qparams, lbl, x))
+    assert np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9) < 0.05
+
+    f32 = decode_all_scales(var_cfg, vae_cfg, params, quant, lbl,
+                            jax.random.PRNGKey(7),
+                            SamplingConfig(cfg=1.5, top_k=1), jnp.float32,
+                            return_ids=True)[1]
+    fp8 = decode_all_scales(var_cfg, vae_cfg, qparams, quant, lbl,
+                            jax.random.PRNGKey(7),
+                            SamplingConfig(cfg=1.5, top_k=1), jnp.float32,
+                            return_ids=True)[1]
+    agree = float(np.mean(np.asarray(f32) == np.asarray(fp8)))
+    assert agree >= 0.8, agree
+
+
 def test_token_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32) * 3)

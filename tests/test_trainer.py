@@ -145,3 +145,33 @@ def test_eval_step_keys(stack):
                     label, dtype=jnp.float32)
     assert set(out) == {"L_mean", "L_tail", "acc_mean", "acc_tail", "tot"}
     assert float(out["tot"]) == 4.0
+
+
+def test_remat_matches_plain_gradients():
+    """jax.checkpoint over the layer scan must not change loss or gradients
+    (it only changes what is saved vs recomputed in the backward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdvar_tpu.config import VARConfig
+    from sdvar_tpu.models.var import init_var_params, var_train_forward
+
+    cfg = VARConfig(depth=3, num_classes=10, patch_nums=(1, 2, 3),
+                    vocab_size=32, Cvae=8, head_dim=16, cond_drop_rate=0.0,
+                    drop_path_rate=0.0)
+    params = init_var_params(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.L - 1, cfg.Cvae))
+    lbl = jnp.array([1, 2])
+
+    def loss(p, remat):
+        lg = var_train_forward(cfg, p, lbl, x, remat=remat)
+        return jnp.mean(lg ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
