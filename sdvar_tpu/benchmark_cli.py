@@ -82,7 +82,7 @@ def build_engine(args) -> SpeculativeEngine:
     if getattr(args, "quant", "none") != "none":
         from sdvar_tpu.ops.quantization import quantize_var_params
 
-        mode = {"w8": "w8", "w8a8": "w8a8"}[args.quant]
+        mode = {"w8": "w8", "w8a8": "w8a8", "fp8": "fp8"}[args.quant]
         draft_params = quantize_var_params(draft_params, mode=mode)
         target_params = quantize_var_params(target_params, mode=mode)
         print(f"[bench-cli] quantized draft+target weights: {args.quant}")
@@ -223,7 +223,8 @@ def mode_quant(eng: SpeculativeEngine, args):
 
     base_fhat, base_ids, base_dt = run(eng.target_params)
     rows = []
-    for mode, kv_mode in (("w8", "bf16"), ("w8a8", "bf16"), ("w8a8", "int8")):
+    for mode, kv_mode in (("w8", "bf16"), ("fp8", "bf16"),
+                          ("w8a8", "bf16"), ("w8a8", "int8")):
         qp = quantize_var_params(eng.target_params, mode=mode)
         q_fhat, q_ids, q_dt = run(qp, kv_mode=kv_mode)
         agree = float((q_ids == base_ids).mean())
@@ -290,7 +291,8 @@ def main():
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    ap.add_argument("--quant", choices=["none", "w8", "w8a8"], default="none",
+    ap.add_argument("--quant", choices=["none", "w8", "w8a8", "fp8"],
+                default="none",
                     help="INT8 weight-only (w8) or weight+activation (w8a8) "
                          "quantization of both models")
     # notebook classes (sdvar_colab_test.py:88-129)

@@ -128,7 +128,7 @@ class GenerationServer:
             self.engine = SpeculativeEngine(
                 vae_cfg, draft_cfg, self.var_cfg,
                 self.vae_params, draft_params, self.var_params,
-                dtype=dtype,
+                dtype=dtype, kv_mode=kv_mode,
             )
 
         self._caches: Dict[int, object] = {}  # per-bucket reused KV caches

@@ -380,6 +380,7 @@ class SpeculativeEngine:
         draft_cfg: VARConfig, target_cfg: VARConfig,
         vae_params, draft_params, target_params,
         dtype=jnp.bfloat16,
+        kv_mode: str = "bf16",
     ):
         assert draft_cfg.patch_nums == target_cfg.patch_nums
         self.vae_cfg = vae_cfg
@@ -388,6 +389,7 @@ class SpeculativeEngine:
         self.draft_params, self.target_params = draft_params, target_params
         self.quant_params = vae_params["quant"]
         self.dtype = dtype
+        self.kv_mode = kv_mode   # "bf16" | "f32" | "int8" (per-token INT8)
         self.num_scales = len(draft_cfg.patch_nums)
 
     # -- draft side ---------------------------------------------------------
@@ -448,10 +450,12 @@ class SpeculativeEngine:
         S = self.num_scales
 
         d_state, d_sos, d_lvl = init_decode(
-            self.draft_cfg, self.draft_params, label_B, self.dtype
+            self.draft_cfg, self.draft_params, label_B, self.dtype,
+            kv_mode=self.kv_mode,
         )
         t_state, t_sos, t_lvl = init_decode(
-            self.target_cfg, self.target_params, label_B, self.dtype
+            self.target_cfg, self.target_params, label_B, self.dtype,
+            kv_mode=self.kv_mode,
         )
         t_cache = t_state.cache
         tkey = fold_key(key, TARGET_STREAM)
@@ -578,7 +582,8 @@ class SpeculativeEngine:
         assert 0 < entry_num <= S
 
         d_state, d_sos, d_lvl = init_decode(
-            self.draft_cfg, self.draft_params, label_B, self.dtype
+            self.draft_cfg, self.draft_params, label_B, self.dtype,
+            kv_mode=self.kv_mode,
         )
         d_states, _, hub = self._draft_scales(
             d_state, d_sos, d_lvl, 0, entry_num, key, 0, samp, stats
@@ -588,7 +593,8 @@ class SpeculativeEngine:
             return d_state.f_hat, stats
 
         t_state, t_sos, t_lvl = init_decode(
-            self.target_cfg, self.target_params, label_B, self.dtype
+            self.target_cfg, self.target_params, label_B, self.dtype,
+            kv_mode=self.kv_mode,
         )
         tkey = fold_key(key, TARGET_STREAM)
         state, _ = _target_prefill_handoff(
@@ -655,7 +661,9 @@ class SpeculativeEngine:
         for phase_model, count in schedule:
             cfg, params, stream = models[phase_model]
             if phase_model not in ctx:
-                state, sos, lvl = init_decode(cfg, params, label_B, self.dtype)
+                state, sos, lvl = init_decode(cfg, params, label_B,
+                                              self.dtype,
+                                              kv_mode=self.kv_mode)
                 mods = _precompute_mods(cfg, params, sos)
                 ctx[phase_model] = [state, sos, lvl, mods, 0]
             state, sos, lvl, mods, seen = ctx[phase_model]

@@ -123,6 +123,24 @@ def test_distinct_draft_makes_progress(stack):
     assert stats2.accept_count + stats2.resampled_scales == var_cfg.num_scales
 
 
+def test_speculative_int8_kv_selfdraft(stack):
+    """kv_mode='int8' threads the quantized KV cache through both models of
+    the speculative engine; self-draft greedy still fully accepts (draft
+    decode and target verify quantize identical tokens identically)."""
+    vae_cfg, var_cfg, var_params, _, vae_params = stack
+    eng = SpeculativeEngine(
+        vae_cfg, var_cfg, var_cfg, vae_params, var_params, var_params,
+        dtype=jnp.float32, kv_mode="int8",
+    )
+    label = jnp.array([3, 7])
+    f_hat, stats = eng.generate_speculative(
+        label, jax.random.PRNGKey(5), SpeculativeConfig(gamma=2),
+        SamplingConfig(cfg=1.5, top_k=1),
+    )
+    assert stats.accept_count == var_cfg.num_scales
+    assert np.isfinite(np.asarray(f_hat)).all()
+
+
 def test_resample_exact_target_parity(stack):
     """Force EVERY scale through the resample-on-reject path (impossible
     match threshold): the output must equal the target-only baseline decode
