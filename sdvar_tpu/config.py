@@ -244,6 +244,9 @@ class TrainConfig:
     bf16: bool = True
     remat: bool = False   # per-layer gradient rematerialization (activation
                           # memory O(1) layers; ~1/3 extra fwd FLOPs)
+    dbg_nan: bool = False  # NaN anomaly mode (reference arg_util.py:137 +
+                           # train.py:173-174): per-step finiteness checks,
+                           # per-leaf NaN report on failure (utils/debug.py)
     saln_every: int = 10          # save/eval cadence in epochs (train.py:208-231)
     # progressive training (reference: arg_util.py:79-81, train.py:286-301)
     pg: float = 0.0               # >0: progressive over [0, pg] of training

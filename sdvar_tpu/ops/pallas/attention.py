@@ -121,34 +121,66 @@ def _xla_attention(q, k, v, bias, scale, tm=False):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+_PROVEN_LK = 2240  # longest Lk in the measured 256/512px envelope
+
+
+def _choose_blocking(H, hd, Lq, Lk, kv_itemsize):
+    """Pick (hpp, blkq): heads per program and the query-block size, so one
+    program's scoped VMEM stays under Mosaic's 16 MB limit. None = no fit.
+
+    Lk <= 2240 (the 256/512px envelope where the headline numbers were
+    measured — do not perturb it): hpp = largest h <= 8 dividing H with a
+    128-aligned merged lane block (fewer, fatter programs amortize grid
+    overhead; hpp=6 vs 2 at d30 is 160 vs 480 programs); blkq = largest
+    divisor of Lq <= 256 whose per-head f32 score tile is <= 4 MB and whose
+    hpp-unrolled score stack hpp*blkq*Lk*4 is <= 14e6 B. The stack holds
+    ALL hpp heads' (blkq, Lk) f32 scores at once (the head loop is
+    unrolled); measured bracket: 13.76e6 B compiles (512px d36 hpp=6
+    blkq=256 Lk=2240), 14.38e6 B OOMs by 104 KB (1024px d16 hpp=8 blkq=256
+    Lk=1755).
+
+    Lk > 2240 (1024px preset, L up to 9451): the scoped accounting also
+    charges the (Lk, hpp*hd) k/v input windows (measured 25.95M total at
+    hpp=8/blkq=72/Lk=5355/int8 where scores alone are 12.3M), so budget
+    the modeled total — score stack + two double-buffered k/v windows —
+    at 11e6 B, leaving ~30% headroom under the limit for what the model
+    does not see. Among feasible (hpp, blkq) pairs prefer the most work
+    per program (max hpp*blkq).
+    """
+    cands = [h for h in range(8, 1, -1) if H % h == 0 and (h * hd) % 128 == 0]
+    if Lk <= _PROVEN_LK:
+        hpp = max(cands, default=1)
+        if Lq * Lk * 4 <= 4 * 1024 * 1024 and Lq <= 256 \
+                and hpp * Lq * Lk * 4 <= 14_000_000:
+            return hpp, Lq
+        best = 8
+        for d in range(8, min(Lq, 256) + 1, 8):
+            if Lq % d == 0 and d * Lk * 4 <= 4 * 1024 * 1024 \
+                    and hpp * d * Lk * 4 <= 14_000_000:
+                best = d
+        return (hpp, best) if Lq % best == 0 else None
+    pick = None  # (work, hpp, blkq)
+    for hpp in (cands or [1]):
+        kv_win = 2 * 2 * Lk * hpp * hd * kv_itemsize  # k+v, double-buffered
+        for d in range(8, min(Lq, 256) + 1, 8):
+            if Lq % d == 0 and hpp * d * Lk * 4 + kv_win <= 11_000_000:
+                if pick is None or hpp * d > pick[0]:
+                    pick = (hpp * d, hpp, d)
+    return (pick[1], pick[2]) if pick is not None else None
+
+
 def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool,
                     kv_scales=None):
     B, Lq, H, hd = q.shape
     Lk = k.shape[0] if tm else k.shape[1]
-    # heads per program: largest h <= 8 dividing H whose merged lane block
-    # (h*hd) is 128-aligned — fewer, fatter programs amortize grid overhead
-    # (hpp=6 vs 2 at d30: 160 vs 480 programs).
-    hpp = 1
-    for h in range(2, 9):
-        if H % h == 0 and (h * hd) % 128 == 0:
-            hpp = h
     C = H * hd
+    choice = _choose_blocking(H, hd, Lq, Lk, jnp.dtype(k.dtype).itemsize)
+    if choice is None:
+        if kv_scales is not None:
+            k, v = _dequant_kv(k, v, kv_scales, q.dtype)
+        return _xla_attention(q, k, v, bias, scale, tm)
+    hpp, blkq = choice
     blk = hpp * hd
-    # Block the query axis so the per-head f32 score tile (blkq, Lk) stays
-    # well under the ~16 MB scoped-VMEM budget (at 512px Lq=1024/Lk=2240 an
-    # unblocked tile is 9.2 MB and the kernel stack OOMs). Largest divisor
-    # of Lq that keeps the tile <= 4 MB, capped at 256.
-    blkq = Lq
-    if Lq * Lk * 4 > 4 * 1024 * 1024 or Lq > 256:
-        best = 8
-        for d in range(8, min(Lq, 256) + 1, 8):
-            if Lq % d == 0 and d * Lk * 4 <= 4 * 1024 * 1024:
-                best = d
-        blkq = best
-        if Lq % blkq:
-            if kv_scales is not None:
-                k, v = _dequant_kv(k, v, kv_scales, q.dtype)
-            return _xla_attention(q, k, v, bias, scale, tm)
     nq = Lq // blkq
     qm = q.reshape(B, Lq, C)
     if tm:
@@ -308,24 +340,16 @@ def pallas_attention_cache(
     B, Lq, H, hd = q.shape
     depth, Lmax = cache_k.shape[0], cache_k.shape[1]
     C = H * hd
-    hpp = 1
-    for h in range(2, 9):
-        if H % h == 0 and (h * hd) % 128 == 0:
-            hpp = h
-    blk = hpp * hd
     Lk = kv_len
     Lk_pad = min(-(-Lk // 8) * 8, Lmax)
     if Lk_pad < Lk:
         return None
-    blkq = Lq
-    if Lq * Lk_pad * 4 > 4 * 1024 * 1024 or Lq > 256:
-        best = None
-        for d in range(8, min(Lq, 256) + 1, 8):
-            if Lq % d == 0 and d * Lk_pad * 4 <= 4 * 1024 * 1024:
-                best = d
-        if best is None:
-            return None
-        blkq = best
+    choice = _choose_blocking(H, hd, Lq, Lk_pad,
+                              jnp.dtype(cache_k.dtype).itemsize)
+    if choice is None:
+        return None
+    hpp, blkq = choice
+    blk = hpp * hd
     nq = Lq // blkq
 
     qm = q.reshape(B, Lq, C)
@@ -592,11 +616,14 @@ def pallas_attention_cache_write(
     if (W - bg_al) % 8 != 0 or W < bg + Lq:
         return None    # unalignable tail (e.g. 1024px Lmax=9451)
     R = max(Lk_pad, W)
-    blkq = Lq
-    if Lq * Lk_pad * 4 > 4 * 1024 * 1024 or Lq > 256:
+    stack_budget = 14_000_000  # hpp unrolled heads' f32 scores (see
+    blkq = Lq                  # _pallas_forward's measured budget rationale)
+    if Lq * Lk_pad * 4 > 4 * 1024 * 1024 or Lq > 256 \
+            or hpp * Lq * Lk_pad * 4 > stack_budget:
         best = None
         for d in range(8, min(Lq, 256) + 1, 8):
-            if Lq % d == 0 and d * Lk_pad * 4 <= 4 * 1024 * 1024:
+            if Lq % d == 0 and d * Lk_pad * 4 <= 4 * 1024 * 1024 \
+                    and hpp * d * Lk_pad * 4 <= stack_budget:
                 best = d
         if best is None:
             return None

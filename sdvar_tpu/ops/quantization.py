@@ -93,8 +93,8 @@ W8A8_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
 
 
 def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
-                        quantize_head: bool = True, mode: str = "w8",
-                        act_head: bool = False) -> Dict:
+                        quantize_head: Optional[bool] = None,
+                        mode: str = "w8", act_head: bool = False) -> Dict:
     """Return a param tree where the transformer's big matmul weights are
     QuantizedLinear pairs. Embeddings/norm-side params stay fp.
 
@@ -105,8 +105,16 @@ def quantize_var_params(params: Dict, keys: Tuple[str, ...] = WEIGHT_KEYS,
     fast path there, e4m3 exists for quality comparison and fp8-native
     chips). The same pytree runs through the same forward code —
     models/var.py resolves quantized leaves via ``resolve_weight``.
+
+    ``quantize_head`` defaults per mode: True for int8 (per-channel int8
+    logits keep argmax agreement high), False for fp8 — e4m3's 3-bit
+    mantissa right before sampling flips argmaxes (measured on the mid-size
+    oracle: head-e4m3 0.57 token agreement vs head-bf16 0.998; the head is
+    <1% of d30's weight bytes, so storing it bf16 costs nothing).
     """
     assert mode in ("w8", "w8a8", "fp8"), mode
+    if quantize_head is None:
+        quantize_head = mode != "fp8"
     qfn = quantize_weight_fp8 if mode == "fp8" else quantize_weight
     out = dict(params)
     blocks = dict(params["blocks"])

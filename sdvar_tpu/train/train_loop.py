@@ -205,6 +205,21 @@ def run_training(
             remat=tc.remat,
         )
         g_it += 1
+        if tc.dbg_nan:
+            # anomaly mode (reference train.py:173-174): sync every step;
+            # on a bad loss, report exactly which param leaves went bad.
+            # For op-level localization re-run the repro under
+            # utils.debug.checked_grad_probe or enable_debug_nans().
+            from sdvar_tpu.utils import debug as dbg
+
+            if not np.isfinite(float(metrics["loss"])):
+                report = dbg.nan_report(state.params, "params")
+                raise FloatingPointError(
+                    f"[dbg_nan] non-finite loss at it {g_it} "
+                    f"(loss={float(metrics['loss'])}); bad param leaves:\n"
+                    + ("\n".join(report[:20]) or "  (params clean - "
+                       "transient activation NaN; use checked_grad_probe)")
+                )
         if g_it % 10 == 0 or g_it == 1:
             m = {k: float(v) for k, v in metrics.items()}
             history.append(dict(m, it=g_it))
@@ -306,6 +321,8 @@ def main():
     ap.add_argument("--pg", type=float, default=0.0,
                     help="progressive training fraction (reference args.pg)")
     ap.add_argument("--pg0", type=int, default=4)
+    ap.add_argument("--dbg-nan", action="store_true",
+                    help="NaN anomaly mode (reference arg_util.py:137)")
     ap.add_argument("--mesh-data", type=int, default=0,
                     help="data-parallel mesh axis; 0 = single device")
     ap.add_argument("--mesh-model", type=int, default=1,
@@ -324,7 +341,8 @@ def main():
     mesh_cfg = (MeshConfig(data=args.mesh_data, model=args.mesh_model)
                 if args.mesh_data > 0 else None)
     tc = TrainConfig(depth=args.depth, global_batch_size=args.bs,
-                     epochs=args.ep, pg=args.pg, pg0=args.pg0)
+                     epochs=args.ep, pg=args.pg, pg0=args.pg0,
+                     dbg_nan=args.dbg_nan)
     run_training(tc, data_root=args.data, out_dir=args.out,
                  max_iters=args.max_iters, batch_override=args.bs,
                  mesh_cfg=mesh_cfg)

@@ -300,3 +300,26 @@ def test_query_blocking_token_major():
                            kv_token_major=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_choose_blocking_vmem_budgets():
+    """Blocking chooser respects the measured scoped-VMEM brackets
+    (compile-verified on v5e; see _choose_blocking docstring)."""
+    from sdvar_tpu.ops.pallas.attention import _choose_blocking
+
+    # proven 512px envelope point stays exactly as measured: hpp=6, blkq=256
+    assert _choose_blocking(36, 64, 1024, 2240, 1) == (6, 256)
+    # measured-OOM point (1024px d16, Lk=1755 int8) must shrink below 256
+    hpp, blkq = _choose_blocking(16, 64, 768, 1760, 1)
+    assert hpp * blkq * 1760 * 4 <= 14_000_000
+    assert 768 % blkq == 0
+    # long-Lk regime: modeled total (scores + double-buffered k/v) <= 11e6
+    for Lk, itemsize in ((5360, 1), (9456, 1), (9456, 2)):
+        choice = _choose_blocking(16, 64, 2304, Lk, itemsize)
+        assert choice is not None, (Lk, itemsize)
+        hpp, blkq = choice
+        total = hpp * blkq * Lk * 4 + 4 * Lk * hpp * 64 * itemsize
+        assert total <= 11_000_000, (Lk, itemsize, total)
+        assert 2304 % blkq == 0 and 16 % hpp == 0 and (hpp * 64) % 128 == 0
+    # small decode shapes stay unblocked with max heads-per-program
+    assert _choose_blocking(30, 64, 64, 680, 2) == (6, 64)

@@ -75,7 +75,8 @@ def main():
         for k in WEIGHT_KEYS:
             if k in params["blocks"]:
                 params["blocks"][k].delete()
-        params["head"]["w"].delete()
+        if qparams["head"]["w"] is not params["head"]["w"]:
+            params["head"]["w"].delete()  # fp8 keeps the bf16 head
         params = qparams
 
     label = jnp.zeros((args.batch,), jnp.int32)

@@ -1,0 +1,95 @@
+"""Continuous-batching serving throughput on the local accelerator.
+
+End-to-end server metric (BASELINE config #5 surface on one chip): requests
+with distinct labels/seeds stream into GenerationServer; measures delivered
+images/sec INCLUDING the VQVAE image decode (bench.py's headline measures
+f_hat-only latent decode), plus latency percentiles and batch occupancy.
+
+Usage: python tools/bench_serving.py [depth] [n_requests] [max_batch] [mode]
+       mode: bf16 | w8a8-int8kv (default)
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.engine.serving import GenerationServer
+from sdvar_tpu.models.var import init_var_params
+from sdvar_tpu.models.vqvae import init_vqvae_params
+from sdvar_tpu.ops.quantization import WEIGHT_KEYS, quantize_var_params
+
+depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+mode = sys.argv[4] if len(sys.argv) > 4 else "w8a8-int8kv"
+
+var_cfg = VARConfig(depth=depth)
+vae_cfg = VQVAEConfig()
+print(f"[serve] VAR-d{depth} {mode} max_batch={max_batch}", flush=True)
+t0 = time.time()
+params = init_var_params(var_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+jax.block_until_ready(params)
+vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
+print(f"[serve] init {time.time()-t0:.0f}s", flush=True)
+
+kv_mode = "bf16"
+if mode.startswith("w8a8"):
+    qp = quantize_var_params(params, mode="w8a8")
+    for k in WEIGHT_KEYS:
+        if k in params["blocks"]:
+            params["blocks"][k].delete()
+    params["head"]["w"].delete()
+    params = qp
+    if mode.endswith("int8kv"):
+        kv_mode = "int8"
+
+srv = GenerationServer(
+    var_cfg, vae_cfg, params, vae_params,
+    samp=SamplingConfig(cfg=1.5, top_k=900, top_p=0.96),
+    max_batch=max_batch, buckets=[max_batch], max_wait_ms=20.0,
+    dtype=jnp.bfloat16, kv_mode=kv_mode,
+)
+srv.start()
+
+# warmup (compile): one full bucket
+warm = [srv.submit(label=i % 1000, seed=i) for i in range(max_batch)]
+t0 = time.time()
+for rid in warm:
+    r = srv.get(rid, timeout=1200)
+    assert r.ok, r.error
+print(f"[serve] warmup (compile+first batch): {time.time()-t0:.1f}s",
+      flush=True)
+
+# steady-state: saturating open loop
+t0 = time.time()
+ids = [srv.submit(label=(i * 7) % 1000, seed=10_000 + i) for i in range(n_req)]
+lat = []
+for rid in ids:
+    r = srv.get(rid, timeout=1200)
+    assert r.ok, r.error
+    lat.append(r.latency_s)
+wall = time.time() - t0
+srv.stop()
+
+lat = np.array(sorted(lat))
+occ = srv.stats["occupancy_sum"] / max(srv.stats["batches"], 1)
+print(f"[serve] d{depth} {mode}: {n_req} imgs in {wall:.2f}s = "
+      f"{n_req/wall:.2f} img/s end-to-end (incl. VQVAE decode to pixels)",
+      flush=True)
+print(f"[serve] latency p50={lat[len(lat)//2]*1e3:.0f} ms "
+      f"p95={lat[int(len(lat)*0.95)]*1e3:.0f} ms "
+      f"max={lat[-1]*1e3:.0f} ms; occupancy={occ*100:.0f}% "
+      f"batches={srv.stats['batches']}", flush=True)
