@@ -54,10 +54,12 @@ for mode in modes:
     if mode.startswith("w8a8"):
         if quantized is None:
             quantized = quantize_var_params(params, mode="w8a8")
-            for k in WEIGHT_KEYS:
-                if k in params["blocks"]:
-                    params["blocks"][k].delete()
-            params["head"]["w"].delete()
+            if not any(m.startswith("bf16") for m in
+                       modes[modes.index(mode):]):  # bf16 still needs them
+                for k in WEIGHT_KEYS:
+                    if k in params["blocks"]:
+                        params["blocks"][k].delete()
+                params["head"]["w"].delete()
         p = quantized
     else:
         p = params
