@@ -13,6 +13,7 @@ numerics-critical path; its cost is negligible next to the transformer).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -42,10 +43,13 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
 def group_norm(p: Params, x: jnp.ndarray, groups: int = 32,
                eps: float = 1e-6) -> jnp.ndarray:
     B, C, H, W = x.shape
-    xg = x.reshape(B, groups, C // groups, H, W)
+    # statistics always in f32: free on the f32 golden path, and keeps the
+    # bf16 serving decode (fhat_to_img_bf16) within 8-bit pixel resolution
+    # of it (bf16 mean/var over H*W elements loses ~3 decimal digits)
+    xg = x.reshape(B, groups, C // groups, H, W).astype(jnp.float32)
     mu = jnp.mean(xg, axis=(2, 3, 4), keepdims=True)
     var = jnp.var(xg, axis=(2, 3, 4), keepdims=True)
-    xg = (xg - mu) * jax.lax.rsqrt(var + eps)
+    xg = ((xg - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     x = xg.reshape(B, C, H, W)
     return x * p["g"][None, :, None, None] + p["b"][None, :, None, None]
 
@@ -154,6 +158,27 @@ def fhat_to_img(cfg: VQVAEConfig, p: Params, f_hat: jnp.ndarray) -> jnp.ndarray:
     """f_hat -> image in [-1, 1] (reference: models/vqvae.py:62-63)."""
     z = conv2d(p["post_quant_conv"], f_hat.astype(jnp.float32))
     return jnp.clip(decoder_forward(cfg, p["decoder"], z), -1.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fhat_to_img_bf16(cfg: VQVAEConfig, p: Params,
+                     f_hat: jnp.ndarray) -> jnp.ndarray:
+    """Serving-path pixel decode: the same CNN in bf16 on the MXU's native
+    rate instead of f32 HIGHEST (6-pass) — ~2x faster, and the dominant
+    cost of an end-to-end request once the latent decode is quantized
+    (tools/bench_serving.py). Golden-parity surfaces (tests, FID protocol)
+    keep f32 ``fhat_to_img``; bf16-vs-f32 pixel delta is bounded by
+    tests/test_serving.py."""
+
+    def cast(a):
+        return a.astype(jnp.bfloat16) if jnp.issubdtype(
+            a.dtype, jnp.floating) else a
+
+    pc = jax.tree.map(cast, {"post_quant_conv": p["post_quant_conv"],
+                             "decoder": p["decoder"]})
+    z = conv2d(pc["post_quant_conv"], f_hat.astype(jnp.bfloat16))
+    img = decoder_forward(cfg, pc["decoder"], z)
+    return jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
 
 
 def img_to_reconstructed_img(cfg: VQVAEConfig, p: Params,
