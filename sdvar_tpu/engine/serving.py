@@ -139,6 +139,14 @@ class GenerationServer:
         self._id_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # delivery pipeline: the scheduler thread dispatches device work and
+        # hands the (async) image arrays to this queue; a delivery thread
+        # blocks on device->host transfer and notifies waiters, so batch
+        # N+1's decode overlaps batch N's host conversion (JAX dispatch is
+        # async — np.asarray is the sync point). Bounded so a slow host
+        # can't pile up device buffers.
+        self._deliver_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._deliver_thread: Optional[threading.Thread] = None
         self.stats = {
             "completed": 0, "batches": 0, "occupancy_sum": 0.0,
         }
@@ -147,12 +155,18 @@ class GenerationServer:
 
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._deliver_thread = threading.Thread(target=self._deliver_loop,
+                                                daemon=True)
         self._thread.start()
+        self._deliver_thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._deliver_thread is not None:
+            self._deliver_q.put(None)  # wake + drain sentinel
+            self._deliver_thread.join(timeout=30)
 
     def submit(self, label: int, seed: int) -> int:
         with self._id_lock:
@@ -259,8 +273,14 @@ class GenerationServer:
             imgs = VQ.fhat_to_img_bf16(self.vae_cfg, self.vae_params, f_hat)
         else:
             imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
-        imgs = np.asarray((imgs + 1.0) * 0.5)
+        imgs = (imgs + 1.0) * 0.5
+        # hand the ASYNC device array to the delivery thread; this thread
+        # immediately dispatches the next batch's decode
+        self._deliver_q.put((batch, imgs, bsz))
 
+    def _deliver(self, batch: List[Request], imgs, bsz: int):
+        imgs = np.asarray(imgs)  # sync point: device -> host
+        n = len(batch)
         now = time.time()
         with self._results_cv:
             for i, r in enumerate(batch):
@@ -273,6 +293,29 @@ class GenerationServer:
         self.stats["batches"] += 1
         self.stats["occupancy_sum"] += n / bsz
 
+    def _fail(self, batch: List[Request], err: str):
+        now = time.time()
+        with self._results_cv:
+            for r in batch:
+                self._results[r.id] = Result(
+                    id=r.id, image=None, latency_s=now - r.submit_t,
+                    batch_size=0, error=err,
+                )
+            self._results_cv.notify_all()
+        self.stats["failed"] = self.stats.get("failed", 0) + len(batch)
+        print(f"[serving] batch failed: {err}")
+
+    def _deliver_loop(self):
+        while True:
+            item = self._deliver_q.get()
+            if item is None:
+                return
+            batch, imgs, bsz = item
+            try:
+                self._deliver(batch, imgs, bsz)
+            except Exception as e:  # async device error surfaces at sync
+                self._fail(batch, f"{type(e).__name__}: {e}")
+
     def _loop(self):
         while not self._stop.is_set():
             batch = self._collect()
@@ -281,14 +324,4 @@ class GenerationServer:
             try:
                 self._run_batch(batch)
             except Exception as e:  # deliver the error payload to waiters
-                err = f"{type(e).__name__}: {e}"
-                now = time.time()
-                with self._results_cv:
-                    for r in batch:
-                        self._results[r.id] = Result(
-                            id=r.id, image=None, latency_s=now - r.submit_t,
-                            batch_size=0, error=err,
-                        )
-                    self._results_cv.notify_all()
-                self.stats["failed"] = self.stats.get("failed", 0) + len(batch)
-                print(f"[serving] batch failed: {err}")
+                self._fail(batch, f"{type(e).__name__}: {e}")
