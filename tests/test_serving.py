@@ -180,8 +180,10 @@ def test_error_payload_delivered(server_stack):
 
 
 def test_bf16_pixel_decode_close_to_f32(server_stack):
-    """The serving-path bf16 CNN decode must track the golden f32 decoder
-    within 8-bit pixel resolution (models/vqvae.fhat_to_img_bf16)."""
+    """The serving-path bf16 CNN decode tracks the golden f32 decoder with a
+    MEAN delta within ~1-2 8-bit pixel steps; the max outlier bound is looser
+    (~19 steps at the random-weight worst case) — see
+    models/vqvae.fhat_to_img_bf16."""
     from sdvar_tpu.models import vqvae as VQ
 
     var_cfg, vae_cfg, var_params, vae_params = server_stack
@@ -193,15 +195,38 @@ def test_bf16_pixel_decode_close_to_f32(server_stack):
     # [-1, 1] range; 8-bit step is 2/255 ~ 0.0078. Random weights + random
     # normal f_hat are the worst case for bf16 conv accumulation (measured
     # mean |delta| 0.012 ~ 1.5 pixel steps; GroupNorm stats already f32).
+    # The MEAN supports the "pixel resolution" claim; the max bound only
+    # caps outliers.
     assert np.abs(a - b).mean() < 0.02
     assert np.abs(a - b).max() < 0.15
 
 
-def test_server_uses_bf16_decode_only_for_bf16_dtype(server_stack):
+def test_server_uses_bf16_decode_only_for_bf16_dtype(server_stack,
+                                                     monkeypatch):
+    """Assert the dtype dispatch directly: the bf16 server calls
+    fhat_to_img_bf16, the f32 server calls fhat_to_img (ADVICE round-2: the
+    previous version only ran an f32 server end-to-end and would pass even
+    if the dispatch always picked one branch)."""
+    from sdvar_tpu.models import vqvae as VQ
+
+    calls = []
+    real_bf16, real_f32 = VQ.fhat_to_img_bf16, VQ.fhat_to_img
+    monkeypatch.setattr(VQ, "fhat_to_img_bf16",
+                        lambda *a: calls.append("bf16") or real_bf16(*a))
+    monkeypatch.setattr(VQ, "fhat_to_img",
+                        lambda *a: calls.append("f32") or real_f32(*a))
+
     srv32 = _mk(server_stack)                       # dtype f32 (default kw)
-    r32 = srv32._run_batch                          # noqa: F841 smoke attr
     srv32.start()
-    rid = srv32.submit(label=1, seed=7)
-    res = srv32.get(rid, timeout=300)
+    res = srv32.get(srv32.submit(label=1, seed=7), timeout=300)
     srv32.stop()
     assert res.ok and res.image.min() >= 0.0 and res.image.max() <= 1.0
+    assert calls == ["f32"]
+
+    calls.clear()
+    srv16 = _mk(server_stack, dtype=jnp.bfloat16)
+    srv16.start()
+    res = srv16.get(srv16.submit(label=1, seed=7), timeout=300)
+    srv16.stop()
+    assert res.ok
+    assert calls == ["bf16"]
