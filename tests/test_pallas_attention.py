@@ -323,3 +323,123 @@ def test_choose_blocking_vmem_budgets():
         assert 2304 % blkq == 0 and 16 % hpp == 0 and (hpp * 64) % 128 == 0
     # small decode shapes stay unblocked with max heads-per-program
     assert _choose_blocking(30, 64, 64, 680, 2) == (6, 64)
+
+
+@pytest.mark.parametrize("int8,H", [(True, 16), (False, 8)])
+def test_long_lk_blocking_regime_parity(int8, H):
+    """Numeric parity for _choose_blocking's Lk > 2240 regime (the 1024px
+    envelope, where the scoped-VMEM model also charges the k/v input
+    windows — attention.py budget rationale). Previously only the budget
+    arithmetic was unit-tested; this runs the kernel at a 1024px-like shape
+    in interpret mode against the XLA composition (VERDICT round-2 #6)."""
+    from sdvar_tpu.ops.pallas.attention import _choose_blocking
+
+    B, d = 2, 64
+    Lq, Lk = 320, 5360
+    itemsize = 1 if int8 else 2
+    choice = _choose_blocking(H, d, Lq, Lk, itemsize)
+    assert choice is not None, "expected the long-Lk kernel regime to engage"
+    hpp, blkq = choice
+    assert blkq < Lq, (hpp, blkq)  # genuinely query-blocked (budget path)
+
+    q = _rand((B, Lq, H, d), 90)
+    k_tm, v_tm = (_rand((Lk, B, H, d), 91 + i) for i in range(2))
+    if int8:
+        from sdvar_tpu.ops.quantization import quantize_tokens
+
+        kq, ks = quantize_tokens(k_tm.reshape(Lk, B, H * d))
+        vq, vs = quantize_tokens(v_tm.reshape(Lk, B, H * d))
+        k_deq = (kq.astype(jnp.float32) * ks[..., None]).reshape(Lk, B, H, d)
+        v_deq = (vq.astype(jnp.float32) * vs[..., None]).reshape(Lk, B, H, d)
+        ref = _xla_attention(q, k_deq.transpose(1, 0, 2, 3),
+                             v_deq.transpose(1, 0, 2, 3), None, 0.125)
+        got = pallas_attention(
+            q, kq.reshape(Lk, B, H, d), vq.reshape(Lk, B, H, d), None,
+            0.125, interpret=True, kv_token_major=True, kv_scales=(ks, vs))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-4, atol=1e-4)
+    else:
+        k_bm = jnp.transpose(k_tm, (1, 0, 2, 3))
+        v_bm = jnp.transpose(v_tm, (1, 0, 2, 3))
+        ref = _xla_attention(q, k_bm, v_bm, None, 0.125)
+        got = pallas_attention(q, k_tm, v_tm, None, 0.125, interpret=True,
+                               kv_token_major=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_bias,chunk", [(False, 16), (True, 16),
+                                              (True, 24)])
+def test_chunked_backward_matches_whole_tensor(with_bias, chunk):
+    """The flash-style chunked backward (scan over query chunks with score
+    recomputation — the long-L training path) must match the whole-tensor
+    VJP it replaces."""
+    from sdvar_tpu.ops.pallas.attention import (
+        pallas_attention,
+        set_attention_bwd_chunk,
+    )
+
+    B, Lq, Lk, H, d = 2, 64, 80, 2, 64
+    q, k, v = (_rand((B, L, H, d), 100 + i)
+               for i, L in enumerate((Lq, Lk, Lk)))
+    bias = None
+    if with_bias:
+        bias = jnp.asarray(
+            np.where(np.random.default_rng(5).random((Lq, Lk)) < 0.3,
+                     -np.inf, 0.0).astype(np.float32))
+    g = _rand((B, Lq, H, d), 104)
+
+    def loss(q, k, v):
+        out = pallas_attention(q, k, v, bias, 0.125, interpret=True)
+        return jnp.sum(out * g)
+
+    try:
+        set_attention_bwd_chunk(0)      # whole-tensor VJP
+        ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        set_attention_bwd_chunk(chunk)  # 16 = exact; 24 = ragged (pad 8)
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        set_attention_bwd_chunk(None)
+    for r, t in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(t),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_backward_bias_grad():
+    """dbias (summed over batch/heads) from the chunked path == autodiff of
+    the XLA composition."""
+    from sdvar_tpu.ops.pallas.attention import (
+        _xla_attention,
+        pallas_attention,
+        set_attention_bwd_chunk,
+    )
+
+    B, Lq, Lk, H, d = 2, 32, 40, 2, 64
+    q, k, v = (_rand((B, L, H, d), 110 + i)
+               for i, L in enumerate((Lq, Lk, Lk)))
+    bias = _rand((Lq, Lk), 113) * 0.1
+    g = _rand((B, Lq, H, d), 114)
+
+    ref = jax.grad(
+        lambda b: jnp.sum(_xla_attention(q, k, v, b, 0.125, False) * g)
+    )(bias)
+    try:
+        set_attention_bwd_chunk(8)
+        got = jax.grad(
+            lambda b: jnp.sum(
+                pallas_attention(q, k, v, b, 0.125, interpret=True) * g)
+        )(bias)
+    finally:
+        set_attention_bwd_chunk(None)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_auto_chunking_engages_beyond_256px_envelope():
+    from sdvar_tpu.ops.pallas.attention import _bwd_chunk_for
+
+    assert _bwd_chunk_for(680, 680) == 0       # 256px: whole-tensor VJP
+    assert _bwd_chunk_for(2240, 2240) == 224   # 512px: exact divisor
+    # 1024px schedule total 9451 = 13*727 has no usable divisor: the
+    # backward pads to 256-chunks (inert rows)
+    assert _bwd_chunk_for(9451, 9451) == 256
