@@ -37,20 +37,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import pytest  # noqa: E402
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Drop compiled executables after each test module.
-
-    A full-suite run accumulates hundreds of jitted programs; near the end
-    (test_train_mesh's 8-device donated train_step) XLA:CPU aborts
-    (SIGABRT in backend_compile) — the same test passes in isolation and
-    in any small combination. Bounding compiler-state growth keeps the
-    one-command suite (`pytest tests/ -x -q`) stable on 2-core CI hosts.
-    """
-    yield
-    import jax
-
-    jax.clear_caches()
+# NOTE on the former per-module jax.clear_caches() workaround: a serial
+# full-suite run used to accumulate hundreds of jitted programs in one
+# process until XLA:CPU SIGABRT'd near the end (test_train_mesh's donated
+# 8-device train_step). The suite now runs under pytest-xdist
+# (pyproject.toml addopts), which splits modules across worker PROCESSES —
+# per-process compiled-executable growth stays far below the crash regime,
+# so the cache-dropping (and the recompiles it caused) is gone.

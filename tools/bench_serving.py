@@ -6,7 +6,17 @@ images/sec INCLUDING the VQVAE image decode (bench.py's headline measures
 f_hat-only latent decode), plus latency percentiles and batch occupancy.
 
 Usage: python tools/bench_serving.py [depth] [n_requests] [max_batch] [mode]
-       mode: bf16 | w8a8-int8kv (default)
+       mode: bf16 | w8a8-int8kv (default) | spec | spec-accept | mesh
+
+spec modes (draft d16 + target d[depth], int8 KV): with RANDOM weights the
+draft/target top-1 match rate is ~0, so
+  - "spec" measures the ACCEPTANCE FLOOR (every window rejected, gamma
+    shrink + forced accepts — the worst case the engine can hit), and
+  - "spec-accept" (force_accept_all) the CEILING (every drafted scale
+    accepted — the ~2x-target-calls-halved best case).
+Real-checkpoint acceptance (reference goal: >=0.5/scale) lands between.
+"mesh" runs the mesh-mode scheduler on a 1-device mesh (the TP path's
+host/sharding overhead; multi-chip ICI scaling needs real chips).
 """
 from __future__ import annotations
 
@@ -25,7 +35,13 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
+from sdvar_tpu.config import (
+    MeshConfig,
+    SamplingConfig,
+    SpeculativeConfig,
+    VARConfig,
+    VQVAEConfig,
+)
 from sdvar_tpu.engine.serving import GenerationServer
 from sdvar_tpu.models.var import init_var_params
 from sdvar_tpu.models.vqvae import init_vqvae_params
@@ -45,22 +61,47 @@ jax.block_until_ready(params)
 vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
 print(f"[serve] init {time.time()-t0:.0f}s", flush=True)
 
-kv_mode = "bf16"
-if mode.startswith("w8a8"):
-    qp = quantize_var_params(params, mode="w8a8")
+
+def _quantize(p):
+    qp = quantize_var_params(p, mode="w8a8")
     for k in WEIGHT_KEYS:
-        if k in params["blocks"]:
-            params["blocks"][k].delete()
-    params["head"]["w"].delete()
-    params = qp
+        if k in p["blocks"]:
+            p["blocks"][k].delete()
+    p["head"]["w"].delete()
+    return qp
+
+
+kv_mode = "bf16"
+extra = {}
+if mode.startswith("w8a8"):
+    params = _quantize(params)
     if mode.endswith("int8kv"):
         kv_mode = "int8"
+elif mode.startswith("spec"):
+    # draft d16 + target d{depth}, int8 KV on both (BASELINE config #4/#5)
+    kv_mode = "int8"
+    draft_cfg = VARConfig(depth=16)
+    draft_params = init_var_params(draft_cfg, jax.random.PRNGKey(7),
+                                   dtype=jnp.bfloat16)
+    jax.block_until_ready(draft_params)
+    extra = dict(
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        spec=SpeculativeConfig(
+            gamma=3, force_accept_all=mode == "spec-accept"),
+    )
+    print(f"[serve] draft d16 init done "
+          f"(force_accept_all={mode == 'spec-accept'})", flush=True)
+elif mode == "mesh":
+    kv_mode = "int8"
+    params = _quantize(params)
+    extra = dict(mesh_cfg=MeshConfig(data=1, model=len(jax.devices())))
 
 srv = GenerationServer(
     var_cfg, vae_cfg, params, vae_params,
     samp=SamplingConfig(cfg=1.5, top_k=900, top_p=0.96),
     max_batch=max_batch, buckets=[max_batch], max_wait_ms=20.0,
     dtype=jnp.bfloat16, kv_mode=kv_mode,
+    **extra,
 )
 srv.start()
 
@@ -93,3 +134,12 @@ print(f"[serve] latency p50={lat[len(lat)//2]*1e3:.0f} ms "
       f"p95={lat[int(len(lat)*0.95)]*1e3:.0f} ms "
       f"max={lat[-1]*1e3:.0f} ms; occupancy={occ*100:.0f}% "
       f"batches={srv.stats['batches']}", flush=True)
+if mode.startswith("spec"):
+    tc = srv.stats.get("spec_target_calls", 0)
+    dc = srv.stats.get("spec_draft_calls", 0)
+    acc = srv.stats.get("spec_accept_count", 0)
+    rej = srv.stats.get("spec_reject_count", 0)
+    nb = max(srv.stats["batches"], 1)
+    print(f"[serve] spec stats: target_calls/batch={tc/nb:.1f} "
+          f"draft_calls/batch={dc/nb:.1f} accepted={acc} rejected={rej} "
+          f"forced={srv.stats.get('spec_forced_accepts', 0)}", flush=True)
