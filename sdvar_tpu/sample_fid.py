@@ -55,6 +55,23 @@ def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
 
     n = len(labels)
     t0 = time.time()
+    # one-batch software pipeline: dispatch batch i+1's decode BEFORE the
+    # device->host sync of batch i (np.asarray is the sync point; JAX
+    # dispatch is async), so the chip never idles during pixel transfer /
+    # host-side packing — the same overlap the serving scheduler uses
+    # (engine/serving.py delivery thread).
+    pending = None  # (async device image, pad, done_count, batch_index)
+
+    def materialize(p):
+        img_d, pad, done, bi = p
+        img = np.asarray(img_d)
+        if pad:
+            img = img[:-pad]
+        if log_every and bi % log_every == 0:
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"[fid-sample] {done}/{n} ({rate:.1f} img/s)", flush=True)
+        return img
+
     for bi, off in enumerate(range(0, n, batch)):
         chunk = labels[off:off + batch]
         pad = batch - len(chunk)
@@ -68,15 +85,12 @@ def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
             jnp.asarray(chunk, jnp.int32), keys, samp, dtype,
             kv_mode=kv_mode, cache=cache, return_cache=True,
         )
-        img = VQ.fhat_to_img(vae_cfg, vae_params, f_hat)
-        img = np.asarray((img + 1.0) * 0.5)
-        if pad:
-            img = img[:-pad]
-        if log_every and bi % log_every == 0:
-            done = min(off + batch, n)
-            rate = done / max(time.time() - t0, 1e-9)
-            print(f"[fid-sample] {done}/{n} ({rate:.1f} img/s)", flush=True)
-        yield img
+        img_d = (VQ.fhat_to_img(vae_cfg, vae_params, f_hat) + 1.0) * 0.5
+        if pending is not None:
+            yield materialize(pending)
+        pending = (img_d, pad, min(off + batch, n), bi)
+    if pending is not None:
+        yield materialize(pending)
 
 
 def main():
@@ -141,6 +155,7 @@ def main():
 
     from sdvar_tpu.utils.fid import create_npz_from_arrays, save_sample_pngs
 
+    t0 = time.time()
     if args.png_dir:
         def tee():
             idx = 0
@@ -152,6 +167,13 @@ def main():
         create_npz_from_arrays(tee(), args.out, num=args.num)
     else:
         create_npz_from_arrays(batches, args.out, num=args.num)
+    import resource
+
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    wall = time.time() - t0
+    print(f"[fid-sample] DONE: {args.num} samples in {wall/60:.1f} min "
+          f"({args.num/wall:.1f} img/s e2e incl. pixel decode + npz pack); "
+          f"peak host RSS {rss_gib:.1f} GiB -> {args.out}", flush=True)
 
 
 if __name__ == "__main__":

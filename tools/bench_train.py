@@ -199,12 +199,120 @@ def bench_loader(n: int = 512):
         f"({t_py/t_nat:.1f}x python)")
 
 
+def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256):
+    """Isolate the frozen-VQVAE tokenize (img_to_idxBl + idx_to_var_input)
+    that runs inside every train step."""
+    import functools
+
+    from sdvar_tpu.config import TrainConfig, VQVAEConfig
+    from sdvar_tpu.models import quantizer as Q
+    from sdvar_tpu.models import vqvae as VQ
+    from sdvar_tpu.models.vqvae import init_vqvae_params
+
+    tc = TrainConfig(reso=reso)
+    vae_cfg = VQVAEConfig(patch_nums=tc.patch_nums)
+    vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def tok(cfg, p, img):
+        gt_idx = VQ.img_to_idxBl(cfg, p, img)
+        x_in = Q.idx_to_var_input(cfg, p["quant"], gt_idx)
+        return jnp.concatenate(gt_idx, axis=1), x_in
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, (B, 3, reso, reso)), jnp.float32)
+    t0 = time.time()
+    gt, x_in = tok(vae_cfg, vae_params, img)
+    s = float(jnp.sum(gt) + jnp.sum(x_in))
+    log(f"[tokenize] compile+first {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        gt, x_in = tok(vae_cfg, vae_params, img)
+        s = float(jnp.sum(gt) + jnp.sum(x_in))  # noqa: F841 sync
+        times.append(time.time() - t0)
+    log(f"[tokenize] B={B} reso={reso}: {min(times)*1e3:.0f} ms "
+        f"({B/min(times):.1f} imgs/s) times={['%.3f' % t for t in times]}")
+
+
+def bench_varonly(depth: int, B: int, iters: int = 5, remat: bool = False,
+                  reso: int = 256):
+    """VAR fwd+bwd+AdamW on pre-tokenized inputs — the transformer-only
+    step time (subtracting this from the full step isolates tokenize)."""
+    import functools
+
+    from sdvar_tpu.config import TrainConfig, VARConfig
+    from sdvar_tpu.models.var import count_params, init_var_params
+    from sdvar_tpu.train import trainer as T
+
+    tc = TrainConfig(depth=depth, reso=reso)
+    var_cfg = VARConfig(depth=depth, patch_nums=tc.patch_nums)
+    params = init_var_params(var_cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    N = count_params(params)
+    state = T.init_train_state(params, clip=2.0)
+    tx = T.make_optimizer(2.0)
+    mask = None
+
+    @functools.partial(jax.jit, static_argnames=("var_cfg", "remat"),
+                       donate_argnames=("state",))
+    def step(var_cfg, state, label, x_in, gt_BL, key, lr, wd, remat=False):
+        mask = T.decay_mask(state.params)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: T.loss_and_metrics(var_cfg, p, label, x_in, gt_BL,
+                                         key, 0.1, dtype=jnp.bfloat16,
+                                         remat=remat),
+            has_aux=True)(state.params)
+        import optax
+
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u, p, m: -(lr) * (u + wd * p * m),
+                               updates, state.params, mask)
+        params2 = optax.apply_updates(state.params, updates)
+        return T.TrainState(params2, opt_state, state.step + 1), loss, gnorm
+
+    rng = np.random.default_rng(0)
+    L = var_cfg.L
+    x_in = jnp.asarray(rng.standard_normal((B, L - 1, var_cfg.Cvae)),
+                       jnp.float32)
+    gt = jnp.asarray(rng.integers(0, var_cfg.vocab_size, (B, L)), jnp.int32)
+    label = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
+    t0 = time.time()
+    state, loss, gnorm = step(var_cfg, state, label, x_in, gt,
+                              jax.random.PRNGKey(0),
+                              jnp.asarray(1e-4), jnp.asarray(0.05),
+                              remat=remat)
+    _ = float(loss)
+    log(f"[var-only] compile+first {time.time()-t0:.1f}s")
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        state, loss, gnorm = step(var_cfg, state, label, x_in, gt,
+                                  jax.random.PRNGKey(i),
+                                  jnp.asarray(1e-4), jnp.asarray(0.05),
+                                  remat=remat)
+        _ = float(loss)
+        times.append(time.time() - t0)
+    best = min(times)
+    mfu = 6.0 * N * B * L / best / V5E_BF16_PEAK
+    log(f"[var-only] d{depth} B={B} remat={remat}: {best*1e3:.0f} ms/step, "
+        f"{B/best:.2f} imgs/s, transformer MFU~{mfu*100:.1f}% "
+        f"times={['%.2f' % t for t in times]}")
+
+
 import os  # noqa: E402  (used by bench_loader)
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     if mode == "loader":
         bench_loader(int(sys.argv[2]) if len(sys.argv) > 2 else 512)
+    elif mode == "tokenize":
+        bench_tokenize(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+    elif mode == "varonly":
+        depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        bench_varonly(depth, B, remat="remat" in sys.argv[4:])
     elif mode == "accum":
         depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         Bg = int(sys.argv[3]) if len(sys.argv) > 3 else 64
