@@ -124,7 +124,7 @@ def _xla_attention(q, k, v, bias, scale, tm=False):
 _PROVEN_LK = 2240  # longest Lk in the measured 256/512px envelope
 
 
-def _choose_blocking(H, hd, Lq, Lk, kv_itemsize):
+def _choose_blocking(H, hd, Lq, Lk, kv_itemsize, has_bias=False):
     """Pick (hpp, blkq): heads per program and the query-block size, so one
     program's scoped VMEM stays under Mosaic's 16 MB limit. None = no fit.
 
@@ -146,24 +146,41 @@ def _choose_blocking(H, hd, Lq, Lk, kv_itemsize):
     at 11e6 B, leaving ~30% headroom under the limit for what the model
     does not see. Among feasible (hpp, blkq) pairs prefer the most work
     per program (max hpp*blkq).
+
+    ``has_bias``: an additive (blkq, Lk) f32 bias block rides in VMEM
+    (double-buffered along the query grid). The bias-free budgets above are
+    the measured envelope and stay untouched; with a bias the stack+bias
+    total is budgeted at 12.5e6 B instead — measured failure it fixes:
+    512px d36 TRAINING attention (Lq=Lk=2240, block-causal bias) at
+    hpp=6/blkq=224 hits "scoped allocation 18.63M > 16M" where the same
+    shape without bias (decode) compiles.
     """
     cands = [h for h in range(8, 1, -1) if H % h == 0 and (h * hd) % 128 == 0]
+
+    def stack_ok(hpp, d):
+        stack = hpp * d * Lk * 4
+        if not has_bias:
+            return stack <= 14_000_000
+        return stack + 2 * d * Lk * 4 <= 12_500_000
+
     if Lk <= _PROVEN_LK:
         hpp = max(cands, default=1)
         if Lq * Lk * 4 <= 4 * 1024 * 1024 and Lq <= 256 \
-                and hpp * Lq * Lk * 4 <= 14_000_000:
+                and stack_ok(hpp, Lq):
             return hpp, Lq
         best = 8
         for d in range(8, min(Lq, 256) + 1, 8):
             if Lq % d == 0 and d * Lk * 4 <= 4 * 1024 * 1024 \
-                    and hpp * d * Lk * 4 <= 14_000_000:
+                    and stack_ok(hpp, d):
                 best = d
         return (hpp, best) if Lq % best == 0 else None
     pick = None  # (work, hpp, blkq)
+    bias_cost = (lambda d: 2 * d * Lk * 4) if has_bias else (lambda d: 0)
     for hpp in (cands or [1]):
         kv_win = 2 * 2 * Lk * hpp * hd * kv_itemsize  # k+v, double-buffered
         for d in range(8, min(Lq, 256) + 1, 8):
-            if Lq % d == 0 and hpp * d * Lk * 4 + kv_win <= 11_000_000:
+            if Lq % d == 0 \
+                    and hpp * d * Lk * 4 + kv_win + bias_cost(d) <= 11_000_000:
                 if pick is None or hpp * d > pick[0]:
                     pick = (hpp * d, hpp, d)
     return (pick[1], pick[2]) if pick is not None else None
@@ -174,7 +191,8 @@ def _pallas_forward(q, k, v, bias, scale: float, interpret: bool, tm: bool,
     B, Lq, H, hd = q.shape
     Lk = k.shape[0] if tm else k.shape[1]
     C = H * hd
-    choice = _choose_blocking(H, hd, Lq, Lk, jnp.dtype(k.dtype).itemsize)
+    choice = _choose_blocking(H, hd, Lq, Lk, jnp.dtype(k.dtype).itemsize,
+                              has_bias=bias is not None)
     if choice is not None and (choice[0] * hd) % 128:
         # merged-head lane blocks must be 128-divisible for Mosaic (hits
         # when no head grouping divides H, e.g. H=1 shards)

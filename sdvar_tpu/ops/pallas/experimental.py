@@ -129,7 +129,8 @@ def pallas_attention_cache(
     if Lk_pad < Lk:
         return None
     choice = _choose_blocking(H, hd, Lq, Lk_pad,
-                              jnp.dtype(cache_k.dtype).itemsize)
+                              jnp.dtype(cache_k.dtype).itemsize,
+                              has_bias=bias is not None)
     if choice is None:
         return None
     hpp, blkq = choice

@@ -443,3 +443,22 @@ def test_auto_chunking_engages_beyond_256px_envelope():
     # 1024px schedule total 9451 = 13*727 has no usable divisor: the
     # backward pads to 256-chunks (inert rows)
     assert _bwd_chunk_for(9451, 9451) == 256
+
+
+def test_choose_blocking_bias_budget():
+    """Training attention carries a (blkq, Lk) f32 bias block: at 512px
+    full-sequence shapes the bias-free pick (6, 224) measured a scoped-VMEM
+    overflow (18.63M > 16M); with has_bias the stack+bias total is budgeted
+    and blkq shrinks."""
+    from sdvar_tpu.ops.pallas.attention import _choose_blocking
+
+    # 512px d36 training: Lq = Lk = 2240, bias
+    hpp, blkq = _choose_blocking(36, 64, 2240, 2240, 2, has_bias=True)
+    assert (hpp, blkq) == (6, 160)
+    assert hpp * blkq * 2240 * 4 + 2 * blkq * 2240 * 4 <= 12_500_000
+    # bias-free decode at the same shape keeps the measured envelope pick
+    assert _choose_blocking(36, 64, 2240, 2240, 2) == (6, 224)
+    # 256px training (d30, Lq=Lk=680 + bias) is comfortably inside: the
+    # pick must NOT change vs bias-free
+    assert _choose_blocking(30, 64, 680, 680, 2, has_bias=True) \
+        == _choose_blocking(30, 64, 680, 680, 2)
