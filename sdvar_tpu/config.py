@@ -244,6 +244,9 @@ class TrainConfig:
     bf16: bool = True
     remat: bool = False   # per-layer gradient rematerialization (activation
                           # memory O(1) layers; ~1/3 extra fwd FLOPs)
+    tokenize_bf16: bool = False  # frozen-VQVAE tokenize in bf16 (GN stats
+                                 # f32): the f32 tokenize is ~half the d16
+                                 # step; see models/vqvae.img_to_f_bf16
     dbg_nan: bool = False  # NaN anomaly mode (reference arg_util.py:137 +
                            # train.py:173-174): per-step finiteness checks,
                            # per-leaf NaN report on failure (utils/debug.py)

@@ -154,6 +154,32 @@ def img_to_idxBl(cfg: VQVAEConfig, p: Params, img: jnp.ndarray,
                     patch_nums=patch_nums)
 
 
+def img_to_f_bf16(cfg: VQVAEConfig, p: Params, img: jnp.ndarray) -> jnp.ndarray:
+    """Training-path tokenizer encoder in bf16 (GroupNorm stats stay f32),
+    mirroring ``fhat_to_img_bf16``: the frozen-VQVAE tokenize is HALF of a
+    d16 train step in f32-HIGHEST (574 of 1118 ms at B=32 — BENCHMARKS.md
+    training table); bf16 convs run at the MXU's native rate. The residual
+    quantizer pyramid downstream stays f32/HIGHEST — only encoder conv
+    rounding can flip a token, and only where the top-2 codebook distances
+    are already within bf16 noise. Golden-parity surfaces keep
+    ``img_to_f``; opt in via TrainConfig.tokenize_bf16."""
+
+    def cast(a):
+        return a.astype(jnp.bfloat16) if jnp.issubdtype(
+            a.dtype, jnp.floating) else a
+
+    pc = jax.tree.map(cast, {"encoder": p["encoder"],
+                             "quant_conv": p["quant_conv"]})
+    f = encoder_forward(cfg, pc["encoder"], img.astype(jnp.bfloat16))
+    return conv2d(pc["quant_conv"], f).astype(jnp.float32)
+
+
+def img_to_idxBl_bf16(cfg: VQVAEConfig, p: Params, img: jnp.ndarray,
+                      patch_nums=None) -> List[jnp.ndarray]:
+    return Q.encode(cfg, p["quant"], img_to_f_bf16(cfg, p, img),
+                    patch_nums=patch_nums)
+
+
 def fhat_to_img(cfg: VQVAEConfig, p: Params, f_hat: jnp.ndarray) -> jnp.ndarray:
     """f_hat -> image in [-1, 1] (reference: models/vqvae.py:62-63)."""
     z = conv2d(p["post_quant_conv"], f_hat.astype(jnp.float32))

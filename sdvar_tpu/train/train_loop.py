@@ -208,7 +208,7 @@ def run_training(
             clip=tc.grad_clip, label_smooth=tc.label_smooth,
             grad_accum=tc.grad_accum, dtype=dtype,
             prog_si=prog_si, prog_wp=jnp.asarray(prog_wp, jnp.float32),
-            remat=tc.remat,
+            remat=tc.remat, tokenize_bf16=tc.tokenize_bf16,
         )
         g_it += 1
         if tc.dbg_nan:

@@ -141,7 +141,8 @@ def loss_and_metrics(
 @functools.partial(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
-                     "grad_accum", "dtype", "prog_si", "remat"),
+                     "grad_accum", "dtype", "prog_si", "remat",
+                     "tokenize_bf16"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -153,14 +154,21 @@ def train_step(
     grad_accum: int = 1, dtype=jnp.bfloat16,
     prog_si: int = -1, prog_wp: float | jnp.ndarray = 1.0,
     remat: bool = False,
+    tokenize_bf16: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """One full training step: tokenize -> forward/backward (optionally
-    scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW."""
+    scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW.
+
+    ``tokenize_bf16``: run the frozen-VQVAE encoder in bf16 (GN stats f32)
+    — the f32-HIGHEST tokenize is half the d16 step time; token flips occur
+    only where top-2 codebook distances sit within bf16 conv noise
+    (measured agreement: tests/test_trainer.py)."""
     tx = make_optimizer(clip)
     mask = decay_mask(state.params)
+    tokenize = VQ.img_to_idxBl_bf16 if tokenize_bf16 else VQ.img_to_idxBl
 
     def forward_on(params, img_mb, label_mb, key):
-        gt_idx = VQ.img_to_idxBl(vae_cfg, vae_params, img_mb)
+        gt_idx = tokenize(vae_cfg, vae_params, img_mb)
         gt_idx = [jax.lax.stop_gradient(i) for i in gt_idx]
         gt_BL = jnp.concatenate(gt_idx, axis=1)
         x_in = jax.lax.stop_gradient(

@@ -213,3 +213,36 @@ def test_vae_train_step_consumes_ema_usage():
     # training moved the codebook (straight-through gradients reach it via
     # the codebook loss term)
     assert np.abs(np.asarray(state.params["quant"]["codebook"]) - cb0).max() > 0
+
+
+def test_bf16_tokenize_agreement():
+    """The bf16 tokenizer encoder (models/vqvae.img_to_f_bf16) must agree
+    with the f32-HIGHEST golden path on the vast majority of token ids —
+    flips can only occur where the top-2 codebook distances sit within
+    bf16 conv noise — and train_step(tokenize_bf16=True) must run."""
+    from sdvar_tpu.models import vqvae as VQ
+
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (4, 3, 48, 48)), jnp.float32)
+    ids32 = np.concatenate(
+        [np.asarray(i) for i in VQ.img_to_idxBl(vae_cfg, vae_params, img)],
+        axis=1)
+    ids16 = np.concatenate(
+        [np.asarray(i) for i in VQ.img_to_idxBl_bf16(vae_cfg, vae_params,
+                                                     img)], axis=1)
+    agree = (ids32 == ids16).mean()
+    assert agree >= 0.85, agree  # random weights = worst case; real
+    # checkpoints have far larger codebook margins
+
+    var_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                        vocab_size=64, Cvae=8, head_dim=32,
+                        cond_drop_rate=0.0, drop_path_rate=0.0)
+    state = init_train_state(init_var_params(var_cfg, jax.random.PRNGKey(1)))
+    state, metrics = train_step(
+        var_cfg, vae_cfg, state, vae_params, img,
+        jnp.asarray([0, 1, 2, 3], jnp.int32),
+        jnp.asarray(1e-4), jnp.asarray(0.05), jax.random.PRNGKey(2),
+        label_smooth=0.0, dtype=jnp.float32, tokenize_bf16=True)
+    assert np.isfinite(float(metrics["loss"]))

@@ -78,19 +78,22 @@ if mode.startswith("w8a8"):
     if mode.endswith("int8kv"):
         kv_mode = "int8"
 elif mode.startswith("spec"):
-    # draft d16 + target d{depth}, int8 KV on both (BASELINE config #4/#5)
+    # draft d16 + target d{depth}, W8A8 weights + int8 KV on BOTH
+    # (apples-to-apples vs the w8a8-int8kv baseline row)
     kv_mode = "int8"
+    params = _quantize(params)
     draft_cfg = VARConfig(depth=16)
     draft_params = init_var_params(draft_cfg, jax.random.PRNGKey(7),
                                    dtype=jnp.bfloat16)
     jax.block_until_ready(draft_params)
+    draft_params = _quantize(draft_params)
     extra = dict(
         draft_cfg=draft_cfg, draft_params=draft_params,
         spec=SpeculativeConfig(
             gamma=3, force_accept_all=mode == "spec-accept"),
     )
-    print(f"[serve] draft d16 init done "
-          f"(force_accept_all={mode == 'spec-accept'})", flush=True)
+    print(f"[serve] draft d16 init done (w8a8; "
+          f"force_accept_all={mode == 'spec-accept'})", flush=True)
 elif mode == "mesh":
     kv_mode = "int8"
     params = _quantize(params)

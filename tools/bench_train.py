@@ -50,7 +50,8 @@ def mem_stats(tag: str):
 
 def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                bf16_params: bool = False, sgd: bool = False,
-               reso: int = 256, grad_accum: int = 1, shared_aln: bool = False):
+               reso: int = 256, grad_accum: int = 1, shared_aln: bool = False,
+               tokenize_bf16: bool = False):
     from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
     from sdvar_tpu.models.var import count_params, init_var_params
     from sdvar_tpu.models.vqvae import init_vqvae_params
@@ -125,7 +126,8 @@ def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                 var_cfg, vae_cfg, state, vae_params, img, label,
                 jnp.asarray(1e-4, jnp.float32), jnp.asarray(0.05, jnp.float32),
                 jax.random.PRNGKey(i), clip=tc.grad_clip, label_smooth=0.1,
-                grad_accum=grad_accum, dtype=jnp.bfloat16, remat=remat)
+                grad_accum=grad_accum, dtype=jnp.bfloat16, remat=remat,
+                tokenize_bf16=tokenize_bf16)
             return float(metrics["loss"])
 
     rng = np.random.default_rng(0)
@@ -199,7 +201,8 @@ def bench_loader(n: int = 512):
         f"({t_py/t_nat:.1f}x python)")
 
 
-def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256):
+def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256,
+                   bf16: bool = False):
     """Isolate the frozen-VQVAE tokenize (img_to_idxBl + idx_to_var_input)
     that runs inside every train step."""
     import functools
@@ -212,10 +215,12 @@ def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256):
     tc = TrainConfig(reso=reso)
     vae_cfg = VQVAEConfig(patch_nums=tc.patch_nums)
     vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
+    encode = VQ.img_to_idxBl_bf16 if bf16 else VQ.img_to_idxBl
+    log(f"[tokenize] encoder dtype: {'bf16' if bf16 else 'f32-HIGHEST'}")
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def tok(cfg, p, img):
-        gt_idx = VQ.img_to_idxBl(cfg, p, img)
+        gt_idx = encode(cfg, p, img)
         x_in = Q.idx_to_var_input(cfg, p["quant"], gt_idx)
         return jnp.concatenate(gt_idx, axis=1), x_in
 
@@ -308,7 +313,8 @@ if __name__ == "__main__":
     if mode == "loader":
         bench_loader(int(sys.argv[2]) if len(sys.argv) > 2 else 512)
     elif mode == "tokenize":
-        bench_tokenize(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+        bench_tokenize(int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+                       bf16="bf16" in sys.argv[3:])
     elif mode == "varonly":
         depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
@@ -317,7 +323,7 @@ if __name__ == "__main__":
         depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         Bg = int(sys.argv[3]) if len(sys.argv) > 3 else 64
         for ac in (1, 2, 4):
-            bench_step(depth, Bg, iters=4, grad_accum=ac)
+            bench_step(depth, Bg, iters=4, grad_accum=ac, remat=True)
     else:
         depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
@@ -330,4 +336,5 @@ if __name__ == "__main__":
             sgd="sgd" in flags,
             reso=512 if "reso512" in flags else 256,
             shared_aln="reso512" in flags,  # d36-s recipe uses shared AdaLN
+            tokenize_bf16="tok16" in flags,
         )
