@@ -96,10 +96,40 @@ def batch_spec() -> P:
 
 
 def shard_tree(tree, specs, mesh: Mesh):
-    """Place a pytree on the mesh according to a matching spec tree."""
+    """Place a pytree on the mesh according to a matching spec tree.
+
+    Quantized weight leaves (QuantizedLinear/W8A8Linear/FP8Linear — the
+    (q, scale) pairs ops/quantization produces) are placed against the
+    PLAIN weight's spec: ``q`` (same shape as the original weight) takes it
+    verbatim; the per-output-channel ``scale`` takes the spec with the
+    contraction (input) axis dropped — e.g. qkv_w (depth, in, out) with
+    P(None, None, "model") gives scale (depth, out) P(None, "model"), and
+    row-sharded proj_w/fc2_w leave the scale replicated. This is what lets
+    the W8A8 serving path run tensor-parallel (mesh + quantized weights)."""
+    from sdvar_tpu.ops.quantization import (
+        FP8Linear,
+        QuantizedLinear,
+        W8A8Linear,
+    )
+
+    qtypes = (QuantizedLinear, W8A8Linear, FP8Linear)
+
+    def place(a, s):
+        if isinstance(a, qtypes):
+            parts = list(s) + [None] * (a.q.ndim - len(tuple(s)))
+            if a.q.ndim == 3:
+                sspec = P(parts[0], parts[2])
+            else:
+                sspec = P(parts[1])
+            return type(a)(
+                q=jax.device_put(a.q, NamedSharding(mesh, s)),
+                scale=jax.device_put(a.scale, NamedSharding(mesh, sspec)),
+            )
+        return jax.device_put(a, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs,
-        is_leaf=lambda x: isinstance(x, P),
+        place, tree, specs,
+        is_leaf=lambda x: isinstance(x, qtypes + (P,)),
     )
 
 

@@ -99,3 +99,41 @@ def test_distributed_helpers_single_process():
         return 7
 
     assert f() == 7 and calls == [1]
+
+
+def test_shard_tree_quantized_params(stack):
+    """W8A8/INT8-quantized params shard with the PLAIN weight specs: q
+    takes the weight spec verbatim, the per-output-channel scale drops the
+    contraction axis (column-sharded qkv/fc1 -> model-sharded scales;
+    row-sharded proj/fc2 -> replicated scales). The TP + quantized serving
+    path depends on this (tools/bench_serving.py mesh mode)."""
+    from sdvar_tpu.ops.quantization import W8A8Linear, quantize_var_params
+    from sdvar_tpu.parallel.mesh import MODEL, shard_tree
+
+    var_cfg, vae_cfg, params, quant = stack
+    qparams = quantize_var_params(params, mode="w8a8")
+    mesh = create_mesh(MeshConfig(data=2, model=4))
+    sharded = shard_tree(qparams, var_param_specs(var_cfg), mesh)
+
+    qkv = sharded["blocks"]["qkv_w"]
+    assert isinstance(qkv, W8A8Linear)
+    assert qkv.q.sharding.spec == P(None, None, MODEL)
+    assert qkv.scale.sharding.spec == P(None, MODEL)
+    proj = sharded["blocks"]["proj_w"]
+    assert proj.q.sharding.spec == P(None, MODEL, None)
+    assert proj.scale.sharding.spec == P(None, None)
+    head = sharded["head"]["w"]
+    assert head.q.sharding.spec == P(None, MODEL)
+    assert head.scale.sharding.spec == P(MODEL)
+
+    # quantized + sharded decode runs and matches quantized unsharded
+    label = jnp.arange(4, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    samp = SamplingConfig(cfg=1.5, top_k=16)
+    f_sh, ids_sh = decode_all_scales(
+        var_cfg, vae_cfg, sharded, quant, label, key, samp, jnp.float32,
+        return_ids=True)
+    f_un, ids_un = decode_all_scales(
+        var_cfg, vae_cfg, qparams, quant, label, key, samp, jnp.float32,
+        return_ids=True)
+    np.testing.assert_array_equal(np.asarray(ids_sh), np.asarray(ids_un))
