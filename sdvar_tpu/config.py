@@ -247,6 +247,9 @@ class TrainConfig:
     tokenize_bf16: bool = False  # frozen-VQVAE tokenize in bf16 (GN stats
                                  # f32): the f32 tokenize is ~half the d16
                                  # step; see models/vqvae.img_to_f_bf16
+    optimizer: str = "adamw"     # "adamw" | "adafactor" (factored second
+                                 # moments -> d30 trains on ONE 16 GB chip;
+                                 # see train/trainer.make_optimizer)
     dbg_nan: bool = False  # NaN anomaly mode (reference arg_util.py:137 +
                            # train.py:173-174): per-step finiteness checks,
                            # per-leaf NaN report on failure (utils/debug.py)

@@ -70,7 +70,8 @@ def build_everything(tc: TrainConfig, seed: int = 0, mesh=None,
         var_params = shard_tree(var_params, var_param_specs(var_cfg), mesh)
         vae_params = shard_tree(vae_params, replicated_specs(vae_params),
                                 mesh)
-    state = init_train_state(var_params, clip=tc.grad_clip)
+    state = init_train_state(var_params, clip=tc.grad_clip,
+                             optimizer=tc.optimizer)
     return vae_cfg, var_cfg, vae_params, state
 
 
@@ -209,6 +210,7 @@ def run_training(
             grad_accum=tc.grad_accum, dtype=dtype,
             prog_si=prog_si, prog_wp=jnp.asarray(prog_wp, jnp.float32),
             remat=tc.remat, tokenize_bf16=tc.tokenize_bf16,
+            optimizer=tc.optimizer,
         )
         g_it += 1
         if tc.dbg_nan:

@@ -54,17 +54,32 @@ def decay_mask(params: Dict) -> Dict:
     return jax.tree_util.tree_map_with_path(leaf_rule, params)
 
 
-def make_optimizer(clip: float = 2.0) -> optax.GradientTransformation:
-    """clip -> adam(0.9, 0.95). lr and decoupled wd are applied manually in
-    the step so the schedule (train/schedule.py) stays a traced scalar."""
+def make_optimizer(clip: float = 2.0,
+                   kind: str = "adamw") -> optax.GradientTransformation:
+    """clip -> {adam(0.9, 0.95) | factored-rms}. lr and decoupled wd are
+    applied manually in the step so the schedule (train/schedule.py) stays
+    a traced scalar.
+
+    ``kind="adafactor"`` uses factored second moments and no first moment
+    (optax.scale_by_factored_rms) — optimizer state drops from 2x params to
+    ~O(rows+cols), which is what lets d30 (2B params) TRAIN on one 16 GB
+    chip: AdamW needs params+m+v = 12.1 GB in bf16 before grads and
+    activations and OOMs even at B=2 (measured — BENCHMARKS.md training
+    table). The reference has no analogue (AdamW on multi-GPU only,
+    train.py:117-120); multi-chip AdamW stays available via the mesh
+    (moments inherit the param shardings)."""
+    assert kind in ("adamw", "adafactor"), kind
+    scale = (optax.scale_by_factored_rms() if kind == "adafactor"
+             else optax.scale_by_adam(b1=0.9, b2=0.95))
     return optax.chain(
         optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
-        optax.scale_by_adam(b1=0.9, b2=0.95),
+        scale,
     )
 
 
-def init_train_state(var_params: Dict, clip: float = 2.0) -> TrainState:
-    tx = make_optimizer(clip)
+def init_train_state(var_params: Dict, clip: float = 2.0,
+                     optimizer: str = "adamw") -> TrainState:
+    tx = make_optimizer(clip, optimizer)
     return TrainState(
         params=var_params,
         opt_state=tx.init(var_params),
@@ -142,7 +157,7 @@ def loss_and_metrics(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
                      "grad_accum", "dtype", "prog_si", "remat",
-                     "tokenize_bf16"),
+                     "tokenize_bf16", "optimizer"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -155,6 +170,7 @@ def train_step(
     prog_si: int = -1, prog_wp: float | jnp.ndarray = 1.0,
     remat: bool = False,
     tokenize_bf16: bool = False,
+    optimizer: str = "adamw",
 ) -> Tuple[TrainState, Dict]:
     """One full training step: tokenize -> forward/backward (optionally
     scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW.
@@ -163,7 +179,7 @@ def train_step(
     — the f32-HIGHEST tokenize is half the d16 step time; token flips occur
     only where top-2 codebook distances sit within bf16 conv noise
     (measured agreement: tests/test_trainer.py)."""
-    tx = make_optimizer(clip)
+    tx = make_optimizer(clip, optimizer)
     mask = decay_mask(state.params)
     tokenize = VQ.img_to_idxBl_bf16 if tokenize_bf16 else VQ.img_to_idxBl
 

@@ -246,3 +246,44 @@ def test_bf16_tokenize_agreement():
         jnp.asarray(1e-4), jnp.asarray(0.05), jax.random.PRNGKey(2),
         label_smooth=0.0, dtype=jnp.float32, tokenize_bf16=True)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_adafactor_optimizer_trains():
+    """optimizer="adafactor" (factored second moments — the single-chip
+    d30 memory unlock, trainer.make_optimizer) runs and reduces loss."""
+    vae_cfg = VQVAEConfig(vocab_size=64, z_channels=8, ch=32, patch_nums=PNS)
+    var_cfg = VARConfig(depth=2, num_classes=10, patch_nums=PNS,
+                        vocab_size=64, Cvae=8, head_dim=32,
+                        cond_drop_rate=0.0, drop_path_rate=0.0)
+    vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(0))
+    state = init_train_state(
+        init_var_params(var_cfg, jax.random.PRNGKey(1)),
+        optimizer="adafactor")
+    # factored state must be far below adam's 2x params. The tiny test
+    # model's dims sit under optax's min_dim_size_to_factor=128, so check
+    # factoring directly at a production-like shape, and that the test
+    # model at least avoids adam's 2x:
+    import optax as _optax
+    import jax as _jax
+
+    big = {"w": jnp.zeros((1920, 5760))}
+    fstate = _optax.scale_by_factored_rms().init(big)
+    n_f = sum(a.size for a in _jax.tree.leaves(fstate) if hasattr(a, "size"))
+    assert n_f < 0.02 * big["w"].size, n_f  # rows+cols, not elements
+    n_params = sum(a.size for a in _jax.tree.leaves(state.params))
+    n_opt = sum(a.size for a in _jax.tree.leaves(state.opt_state)
+                if hasattr(a, "size"))
+    assert n_opt < 1.2 * n_params, (n_opt, n_params)
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (4, 3, 48, 48)), jnp.float32)
+    label = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    losses = []
+    for i in range(4):
+        state, metrics = train_step(
+            var_cfg, vae_cfg, state, vae_params, img, label,
+            jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(i),
+            label_smooth=0.0, dtype=jnp.float32, optimizer="adafactor")
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses

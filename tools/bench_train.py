@@ -51,7 +51,7 @@ def mem_stats(tag: str):
 def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                bf16_params: bool = False, sgd: bool = False,
                reso: int = 256, grad_accum: int = 1, shared_aln: bool = False,
-               tokenize_bf16: bool = False):
+               tokenize_bf16: bool = False, optimizer: str = "adamw"):
     from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
     from sdvar_tpu.models.var import count_params, init_var_params
     from sdvar_tpu.models.vqvae import init_vqvae_params
@@ -69,7 +69,7 @@ def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
     N = count_params(params)
     log(f"[train-bench] d{depth} reso={reso} B={B} ac={grad_accum} "
         f"params={N/1e6:.0f}M ({'bf16' if bf16_params else 'f32'}) "
-        f"remat={remat} opt={'sgd' if sgd else 'adamw'} "
+        f"remat={remat} opt={'sgd' if sgd else optimizer} "
         f"(init {time.time()-t0:.0f}s)")
 
     if sgd:
@@ -118,7 +118,8 @@ def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                                    remat=remat)
             return float(loss)
     else:
-        state = T.init_train_state(params, clip=tc.grad_clip)
+        state = T.init_train_state(params, clip=tc.grad_clip,
+                                   optimizer=optimizer)
 
         def run(i):
             nonlocal state
@@ -127,7 +128,7 @@ def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                 jnp.asarray(1e-4, jnp.float32), jnp.asarray(0.05, jnp.float32),
                 jax.random.PRNGKey(i), clip=tc.grad_clip, label_smooth=0.1,
                 grad_accum=grad_accum, dtype=jnp.bfloat16, remat=remat,
-                tokenize_bf16=tokenize_bf16)
+                tokenize_bf16=tokenize_bf16, optimizer=optimizer)
             return float(metrics["loss"])
 
     rng = np.random.default_rng(0)
@@ -337,4 +338,5 @@ if __name__ == "__main__":
             reso=512 if "reso512" in flags else 256,
             shared_aln="reso512" in flags,  # d36-s recipe uses shared AdaLN
             tokenize_bf16="tok16" in flags,
+            optimizer="adafactor" if "adafactor" in flags else "adamw",
         )
