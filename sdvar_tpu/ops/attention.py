@@ -93,9 +93,9 @@ def attention(
     (hard compile error on multi-chip meshes); incompatible shapes fall
     back to the XLA composition, which partitions automatically."""
     from sdvar_tpu.ops.partition import (
-        get_tp_mesh,
         pallas_interpret,
         sharded_pallas_attention,
+        tp_mesh_active,
     )
 
     Lk = k.shape[0] if kv_token_major else k.shape[1]
@@ -109,14 +109,14 @@ def attention(
                 kv_scales=kv_scales, interpret=pallas_interpret())
             if out is not None:
                 return out
-            if get_tp_mesh() is None:
+            if not tp_mesh_active():
                 from sdvar_tpu.ops.pallas.attention import pallas_attention
 
                 return pallas_attention(q, k, v, bias, scale,
                                         interpret=pallas_interpret(),
                                         kv_token_major=kv_token_major,
                                         kv_scales=kv_scales)
-            # mesh registered but shapes don't divide it: XLA fallback
+            # active multi-device mesh but shapes don't divide it: XLA
         from sdvar_tpu.ops.pallas.attention import _dequant_kv
 
         k, v = _dequant_kv(k, v, kv_scales, q.dtype)
@@ -128,7 +128,7 @@ def attention(
                 interpret=pallas_interpret())
             if out is not None:
                 return out
-            if get_tp_mesh() is None:
+            if not tp_mesh_active():
                 from sdvar_tpu.ops.pallas.attention import pallas_attention
 
                 return pallas_attention(q, k, v, bias, scale,

@@ -73,6 +73,16 @@ def _active_mesh() -> Optional[Mesh]:
     return m
 
 
+def tp_mesh_active() -> bool:
+    """True when a >1-device mesh is registered — i.e. Mosaic kernels MUST
+    go through shard_map (or fall back to XLA). A 1-device mesh is a no-op
+    (the reference's "not initialized -> no-op" analogue): the unsharded
+    fast paths stay legal and callers must keep using them — treating a
+    1-device mesh as active silently re-routed the whole int8 decode onto
+    the XLA dequant path (measured 3.7 vs 14+ img/s serving, round 3)."""
+    return _active_mesh() is not None
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     sig = inspect.signature(jax.shard_map).parameters
     kw = {"mesh": mesh, "in_specs": in_specs, "out_specs": out_specs}

@@ -148,13 +148,13 @@ def sample_with_top_k_top_p(
     V = logits.shape[-1]
     if _fused_sampler_ok(logits, key, top_k):
         from sdvar_tpu.ops.partition import (
-            get_tp_mesh,
             pallas_interpret,
             sharded_fused_sample,
+            tp_mesh_active,
         )
         from sdvar_tpu.ops.pallas.sampling import fused_sample
 
-        mesh_active = get_tp_mesh() is not None
+        mesh_active = tp_mesh_active()
         if _is_key_array(key):
             row_seeds = _row_seeds_from_keys(key, logits.shape)
             if mesh_active:

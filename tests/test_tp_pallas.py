@@ -270,3 +270,31 @@ def test_tp_decode_compiles_for_v5e_2x4():
         and re.search(r"\[8,512,(1536|2048)\]|\[8,2048,512\]", l)
     ]
     assert not gathered_weights, gathered_weights[:3]
+
+
+def test_one_device_mesh_keeps_unsharded_fast_paths(monkeypatch):
+    """A registered 1-device mesh is a no-op: the UNSHARDED Pallas kernels
+    must still be used (regression: treating it as active silently rerouted
+    the int8 decode onto the XLA dequant path — 3.7 vs 14+ img/s serving)."""
+    import sdvar_tpu.ops.pallas.attention as PA
+    from sdvar_tpu.config import MeshConfig
+    from sdvar_tpu.parallel.mesh import create_mesh
+
+    calls = []
+    real = PA.pallas_attention
+    monkeypatch.setattr(PA, "pallas_attention",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+
+    mesh = create_mesh(MeshConfig(data=1, model=1))
+    set_tp_mesh(mesh)
+    set_pallas_interpret(True)
+    A.set_attention_impl("pallas")
+    try:
+        q, k, v = _qkv(B=2, Lq=16, Lk=24, H=2, hd=64)
+        out = A.attention(q, k, v, None, 0.125)
+        assert calls, "unsharded pallas kernel was not used under 1-dev mesh"
+        assert out.shape == q.shape
+    finally:
+        A.set_attention_impl("auto")
+        set_tp_mesh(None)
+        set_pallas_interpret(False)
