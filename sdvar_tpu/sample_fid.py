@@ -40,7 +40,7 @@ def balanced_labels(num: int, num_classes: int = 1000) -> np.ndarray:
 
 def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
                    samp, dtype=jnp.bfloat16, kv_mode="bf16", seed0=0,
-                   log_every=50):
+                   log_every=50, pixels="f32"):
     """Yield (B, 3, H, W) [0,1] image batches covering ``labels``."""
     from sdvar_tpu.engine.decode import decode_all_scales
     from sdvar_tpu.models import vqvae as VQ
@@ -85,7 +85,9 @@ def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
             jnp.asarray(chunk, jnp.int32), keys, samp, dtype,
             kv_mode=kv_mode, cache=cache, return_cache=True,
         )
-        img_d = (VQ.fhat_to_img(vae_cfg, vae_params, f_hat) + 1.0) * 0.5
+        to_img = (VQ.fhat_to_img_bf16 if pixels == "bf16"
+                  else VQ.fhat_to_img)
+        img_d = (to_img(vae_cfg, vae_params, f_hat) + 1.0) * 0.5
         if pending is not None:
             yield materialize(pending)
         pending = (img_d, pad, min(off + batch, n), bi)
@@ -105,6 +107,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quant", choices=["none", "w8", "w8a8"], default="none")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--pixels", choices=["f32", "bf16"], default="f32",
+                    help="pixel decoder: f32 = golden FID protocol; bf16 = "
+                         "serving decoder (~2x faster; mean delta ~1.5 "
+                         "8-bit steps — use for pipeline shakeouts, keep "
+                         "f32 for reported FID)")
     ap.add_argument("--out", type=str, default="/tmp/sdvar_samples.npz")
     ap.add_argument("--png-dir", type=str, default=None,
                     help="also write PNGs (reference flow) to this folder")
@@ -150,7 +157,7 @@ def main():
     labels = balanced_labels(args.num)
     batches = sample_batches(
         var_cfg, vae_cfg, var_params, vae_params, labels, args.batch, samp,
-        kv_mode=args.kv, seed0=args.seed,
+        kv_mode=args.kv, seed0=args.seed, pixels=args.pixels,
     )
 
     from sdvar_tpu.utils.fid import create_npz_from_arrays, save_sample_pngs
