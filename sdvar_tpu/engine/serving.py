@@ -275,6 +275,13 @@ class GenerationServer:
 
                     cache = KVCache.create(self.var_cfg, 2 * bsz,
                                            dtype=self.dtype)
+                if self.mesh is not None:
+                    # commit to mesh shardings NOW: otherwise the second
+                    # batch (fed the committed returned cache) recompiles
+                    # the decode (parallel/mesh.place_kv_cache)
+                    from sdvar_tpu.parallel.mesh import place_kv_cache
+
+                    cache = place_kv_cache(cache, self.mesh)
             f_hat, cache = decode_all_scales(
                 self.var_cfg, self.vae_cfg, self.var_params,
                 self.vae_params["quant"], labels_d, keys,

@@ -87,6 +87,23 @@ def kv_cache_specs() -> "P":
     return P(None, None, DATA, MODEL)
 
 
+def place_kv_cache(cache, mesh: Mesh):
+    """Commit a freshly created KV cache to its mesh shardings BEFORE the
+    first jitted decode sees it. Without this the first call compiles for
+    the uncommitted host-created buffers and the second call — fed the
+    previous call's committed outputs — recompiles the whole decode
+    (measured: an ~18 s recompile stall in mesh-mode serving's second
+    batch). Handles both KVCache (k, v) and QuantizedKVCache
+    (k, v, k_s, v_s — scale planes are (depth, B, L): batch over data)."""
+    kv = NamedSharding(mesh, kv_cache_specs())
+    sc = NamedSharding(mesh, P(None, DATA, None))
+    fields = cache._asdict()
+    out = {}
+    for name, a in fields.items():
+        out[name] = jax.device_put(a, sc if name.endswith("_s") else kv)
+    return type(cache)(**out)
+
+
 def replicated_specs(tree) -> dict:
     return jax.tree.map(lambda _: P(), tree)
 

@@ -108,13 +108,16 @@ srv = GenerationServer(
 )
 srv.start()
 
-# warmup (compile): one full bucket
-warm = [srv.submit(label=i % 1000, seed=i) for i in range(max_batch)]
+# warmup (compile): two full buckets SEQUENTIALLY — the second catches any
+# input-sharding-driven recompile (cache buffers committed by batch one)
 t0 = time.time()
-for rid in warm:
-    r = srv.get(rid, timeout=1200)
-    assert r.ok, r.error
-print(f"[serve] warmup (compile+first batch): {time.time()-t0:.1f}s",
+for round_ in range(2):
+    warm = [srv.submit(label=i % 1000, seed=round_ * 1000 + i)
+            for i in range(max_batch)]
+    for rid in warm:
+        r = srv.get(rid, timeout=1200)
+        assert r.ok, r.error
+print(f"[serve] warmup (compile + 2 batches): {time.time()-t0:.1f}s",
       flush=True)
 
 # steady-state: saturating open loop
