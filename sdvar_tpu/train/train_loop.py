@@ -228,11 +228,13 @@ def run_training(
                     + ("\n".join(report[:20]) or "  (params clean - "
                        "transient activation NaN; use checked_grad_probe)")
                 )
-        # history records every iter (tests compare per-iter losses across
-        # process topologies); console/TB stay on the 10-iter cadence
-        m = {k: float(v) for k, v in metrics.items()}
-        history.append(dict(m, it=g_it))
+        # history records every iter as DEVICE scalars (no per-iter host
+        # sync — a float() here would stall async dispatch every step);
+        # converted to floats once at return. Console/TB keep the 10-iter
+        # cadence, which is where the host sync happens.
+        history.append(dict(metrics, it=g_it))
         if g_it % 10 == 0 or g_it == 1:
+            m = {k: float(v) for k, v in metrics.items()}
             mlog.update(**{k: m[k] for k in ("Lm", "Lt", "Accm", "Acct")})
             if D.is_master():
                 print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "
@@ -275,6 +277,11 @@ def run_training(
     if D.is_master():
         print(f"[done] {g_it} iters in {dt:.1f}s")
     tb.close()
+    history = [
+        {k: (v if isinstance(v, (int, float)) else float(v))
+         for k, v in h.items()}
+        for h in history
+    ]
     return state, history
 
 
