@@ -206,16 +206,21 @@ def test_gspmd_cannot_partition_mosaic():
         jax.jit(f, in_shardings=(sh,)).lower(x).compile()
 
 
-def test_tp_decode_compiles_for_v5e_2x4():
+@pytest.mark.parametrize("quantized", [False, True])
+def test_tp_decode_compiles_for_v5e_2x4(quantized):
     """The REAL TP serving program — TP-sharded VAR params, shard_map'd
     Mosaic attention, fused per-request-seed sampler — AOT-compiles for a
     multi-chip v5e topology. Round-2 could not make this claim: the
-    un-wrapped kernels fail exactly as shown above."""
+    un-wrapped kernels fail exactly as shown above. ``quantized`` is the
+    north-star serving config: W8A8 int8 weights (quantization-aware
+    shard_tree specs) + INT8 KV cache with the per-token scale planes
+    riding the sharded Pallas attention."""
     from sdvar_tpu.config import SamplingConfig, VARConfig, VQVAEConfig
     from sdvar_tpu.engine.decode import decode_all_scales
     from sdvar_tpu.models.quantizer import init_quantizer_params
     from sdvar_tpu.models.var import init_var_params
-    from sdvar_tpu.parallel.mesh import var_param_specs
+    from sdvar_tpu.ops.quantization import quantize_var_params
+    from sdvar_tpu.parallel.mesh import shard_tree, var_param_specs
 
     mesh = _v5e_2x4_mesh()
     pns = (1, 2, 3)
@@ -227,10 +232,22 @@ def test_tp_decode_compiles_for_v5e_2x4():
     params = init_var_params(var_cfg, jax.random.PRNGKey(0))
     quant = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1), eini=1.0)
     specs = var_param_specs(var_cfg)
-    params_abs = jax.tree.map(
-        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                          sharding=NamedSharding(mesh, s)),
-        params, specs, is_leaf=lambda x: isinstance(x, P))
+    if quantized:
+        params = quantize_var_params(params, mode="w8a8")
+        # reuse shard_tree's quantization-aware spec expansion by placing
+        # on a CPU mesh first, then lifting the shardings' specs
+        cpu_mesh = create_mesh(MeshConfig(data=2, model=4))
+        placed = shard_tree(params, specs, cpu_mesh)
+        params_abs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype,
+                sharding=NamedSharding(mesh, a.sharding.spec)),
+            placed)
+    else:
+        params_abs = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=NamedSharding(mesh, s)),
+            params, specs, is_leaf=lambda x: isinstance(x, P))
     quant_abs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
                                        sharding=NamedSharding(mesh, P())),
@@ -249,6 +266,7 @@ def test_tp_decode_compiles_for_v5e_2x4():
         lowered = decode_all_scales.lower(
             var_cfg, vae_cfg, params_abs, quant_abs, label_abs, keys_abs,
             SamplingConfig(cfg=1.5, top_k=50, top_p=0.9), jnp.bfloat16,
+            kv_mode="int8" if quantized else "bf16",
         )
         compiled = lowered.compile()
         hlo = compiled.as_text()
