@@ -134,6 +134,11 @@ class GenerationServer:
                 vae_cfg, draft_cfg, self.var_cfg,
                 self.vae_params, draft_params, self.var_params,
                 dtype=dtype, kv_mode=kv_mode,
+                # mesh mode: the engine's internally pooled KV caches must be
+                # committed to mesh shardings on creation or the second batch
+                # pays a full-decode recompile (same fix as the baseline
+                # path's place_kv_cache below)
+                mesh=self.mesh,
             )
 
         self._caches: Dict[int, object] = {}  # per-bucket reused KV caches
@@ -143,6 +148,7 @@ class GenerationServer:
         self._next_id = 0
         self._id_lock = threading.Lock()
         self._stop = threading.Event()
+        self._deliver_stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         # delivery pipeline: the scheduler thread dispatches device work and
         # hands the (async) image arrays to this queue; a delivery thread
@@ -172,15 +178,12 @@ class GenerationServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        # The delivery loop polls this event between queue gets, so a
+        # healthy-but-busy thread drains every queued batch and exits; a
+        # wedged one (device hang inside np.asarray) is abandoned by the
+        # bounded join and dies with the process (daemon).
+        self._deliver_stop.set()
         if self._deliver_thread is not None:
-            # bounded like the adjacent joins: if the delivery thread is
-            # wedged (device hang inside np.asarray) the maxsize=2 queue may
-            # be full forever — don't let stop() inherit the hang; the
-            # daemon thread dies with the process.
-            try:
-                self._deliver_q.put(None, timeout=5)  # wake + drain sentinel
-            except queue.Full:
-                pass
             self._deliver_thread.join(timeout=30)
 
     def submit(self, label: int, seed: int) -> int:
@@ -332,9 +335,12 @@ class GenerationServer:
 
     def _deliver_loop(self):
         while True:
-            item = self._deliver_q.get()
-            if item is None:
-                return
+            try:
+                item = self._deliver_q.get(timeout=0.25)
+            except queue.Empty:
+                if self._deliver_stop.is_set():
+                    return  # drained and told to stop
+                continue
             batch, imgs, bsz = item
             try:
                 self._deliver(batch, imgs, bsz)

@@ -389,6 +389,7 @@ class SpeculativeEngine:
         vae_params, draft_params, target_params,
         dtype=jnp.bfloat16,
         kv_mode: str = "bf16",
+        mesh=None,
     ):
         assert draft_cfg.patch_nums == target_cfg.patch_nums
         self.vae_cfg = vae_cfg
@@ -398,6 +399,11 @@ class SpeculativeEngine:
         self.quant_params = vae_params["quant"]
         self.dtype = dtype
         self.kv_mode = kv_mode   # "bf16" | "f32" | "int8" (per-token INT8)
+        # mesh: when the engine runs under a >1-device mesh, freshly created
+        # KV caches must be committed to their mesh shardings BEFORE the
+        # first jitted program sees them, or the second call (fed committed
+        # outputs) recompiles everything (parallel/mesh.place_kv_cache).
+        self.mesh = mesh
         self.num_scales = len(draft_cfg.patch_nums)
         # per-batch-size (draft, target) KV cache pool: generate_speculative
         # reuses the previous call's caches instead of paying the two
@@ -405,7 +411,43 @@ class SpeculativeEngine:
         # engine path calls it once per batch (VERDICT round-2 Weak #2).
         # Reuse is safe for the same reason baseline cache reuse is
         # (decode.init_decode): every scale writes its rows before reading.
+        # Bounded: each entry pins TWO full KV caches on device (multi-GB at
+        # d30), so only the most recent CACHE_POOL_MAX batch sizes are kept
+        # (serving uses fixed buckets and never evicts; direct callers with
+        # drifting batch sizes no longer accumulate unbounded device memory).
         self._cache_pool: Dict[int, Tuple] = {}
+
+    CACHE_POOL_MAX = 2
+
+    def clear_cache_pool(self) -> None:
+        """Drop all pooled KV caches (frees their device memory)."""
+        self._cache_pool.clear()
+
+    def _pool_put(self, B: int, caches: Tuple) -> None:
+        self._cache_pool[B] = caches  # B was popped at call start -> appends
+        while len(self._cache_pool) > self.CACHE_POOL_MAX:
+            self._cache_pool.pop(next(iter(self._cache_pool)))
+
+    def _new_cache(self, cfg: VARConfig, batch2: int):
+        """Fresh KV cache for ``batch2`` rows, committed to the mesh when one
+        is registered (kills the one-time second-batch recompile stall in
+        mesh+speculative serving)."""
+        if self.kv_mode == "int8":
+            from sdvar_tpu.ops.quantization import QuantizedKVCache
+
+            cache = QuantizedKVCache.create(cfg, batch2)
+        else:
+            from sdvar_tpu.models.var import KVCache
+
+            cache = KVCache.create(
+                cfg, batch2,
+                dtype=jnp.float32 if self.kv_mode == "f32" else jnp.bfloat16,
+            )
+        if self.mesh is not None:
+            from sdvar_tpu.parallel.mesh import place_kv_cache
+
+            cache = place_kv_cache(cache, self.mesh)
+        return cache
 
     # -- draft side ---------------------------------------------------------
 
@@ -467,6 +509,9 @@ class SpeculativeEngine:
 
         B = int(label_B.shape[0])
         pooled_d, pooled_t = self._cache_pool.pop(B, (None, None))
+        if pooled_d is None:
+            pooled_d = self._new_cache(self.draft_cfg, 2 * B)
+            pooled_t = self._new_cache(self.target_cfg, 2 * B)
         d_state, d_sos, d_lvl = init_decode(
             self.draft_cfg, self.draft_params, label_B, self.dtype,
             kv_mode=self.kv_mode, cache=pooled_d,
@@ -583,7 +628,7 @@ class SpeculativeEngine:
             else:
                 attempt += 1
 
-        self._cache_pool[B] = (d_state.cache, t_cache)
+        self._pool_put(B, (d_state.cache, t_cache))
         return d_state.f_hat, stats
 
     def generate_handoff(
@@ -607,9 +652,10 @@ class SpeculativeEngine:
         S = self.num_scales
         assert 0 < entry_num <= S
 
+        B = int(label_B.shape[0])
         d_state, d_sos, d_lvl = init_decode(
             self.draft_cfg, self.draft_params, label_B, self.dtype,
-            kv_mode=self.kv_mode,
+            kv_mode=self.kv_mode, cache=self._new_cache(self.draft_cfg, 2 * B),
         )
         d_states, _, hub = self._draft_scales(
             d_state, d_sos, d_lvl, 0, entry_num, key, 0, samp, stats
@@ -621,6 +667,7 @@ class SpeculativeEngine:
         t_state, t_sos, t_lvl = init_decode(
             self.target_cfg, self.target_params, label_B, self.dtype,
             kv_mode=self.kv_mode,
+            cache=self._new_cache(self.target_cfg, 2 * B),
         )
         tkey = fold_key(key, TARGET_STREAM)
         state, _ = _target_prefill_handoff(

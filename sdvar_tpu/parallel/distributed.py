@@ -96,9 +96,26 @@ def allreduce_host(x: np.ndarray) -> np.ndarray:
 
 def allgather_host(x: np.ndarray) -> np.ndarray:
     """Gather host arrays from every process, stacked on axis 0 (reference
-    dist.py:109-119)."""
+    dist.py:109-119). Requires identical shapes on every process; use
+    ``allgather_host_varlen`` when leading dimensions differ."""
     if jax.process_count() <= 1:
         return np.asarray(x)[None]
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def allgather_host_varlen(x: np.ndarray) -> list:
+    """Gather host arrays whose LEADING dimension differs per process
+    (reference allgather_diff_shape, dist.py:122-146: gather lengths first,
+    pad everyone to the max, gather, then strip the padding). Returns a list
+    of per-process arrays in rank order. Trailing dimensions must match."""
+    x = np.asarray(x)
+    if jax.process_count() <= 1:
+        return [x]
+    lens = allgather_host(np.asarray([x.shape[0]], np.int64))[:, 0]
+    mx = int(lens.max())
+    pad = np.zeros((mx,) + x.shape[1:], x.dtype)
+    pad[: x.shape[0]] = x
+    full = allgather_host(pad)  # (P, mx, ...)
+    return [full[r, : int(n)] for r, n in enumerate(lens)]

@@ -169,7 +169,19 @@ def run_training(
     S = len(var_cfg.patch_nums)
     prog_wp_it = max(tc.pgwp_epochs() * iters_per_ep, 1)
     prog_it, last_prog_si, first_prog = 0, -1, True
-    history = []
+    # history holds floats; pending holds device scalars awaiting the next
+    # host sync (10-iter console cadence), so no per-iter sync stalls async
+    # dispatch and no long run pins thousands of tiny device buffers.
+    history, pending = [], []
+
+    def _drain_pending():
+        history.extend(
+            {k: (v if isinstance(v, (int, float)) else float(v))
+             for k, v in h.items()}
+            for h in pending
+        )
+        pending.clear()
+
     while g_it < max_it:
         if max_iters is not None and g_it >= max_iters:
             break
@@ -228,13 +240,14 @@ def run_training(
                     + ("\n".join(report[:20]) or "  (params clean - "
                        "transient activation NaN; use checked_grad_probe)")
                 )
-        # history records every iter as DEVICE scalars (no per-iter host
-        # sync — a float() here would stall async dispatch every step);
-        # converted to floats once at return. Console/TB keep the 10-iter
-        # cadence, which is where the host sync happens.
-        history.append(dict(metrics, it=g_it))
+        # record as DEVICE scalars (no per-iter host sync — a float() here
+        # would stall async dispatch every step); drained to floats at the
+        # 10-iter console cadence below, where the host sync happens anyway,
+        # so at most 10 iterations of tiny device buffers are ever pinned.
+        pending.append(dict(metrics, it=g_it))
         if g_it % 10 == 0 or g_it == 1:
             m = {k: float(v) for k, v in metrics.items()}
+            _drain_pending()
             mlog.update(**{k: m[k] for k in ("Lm", "Lt", "Accm", "Acct")})
             if D.is_master():
                 print(f"[it {g_it}/{max_it}] loss={m['loss']:.4f} "
@@ -277,11 +290,7 @@ def run_training(
     if D.is_master():
         print(f"[done] {g_it} iters in {dt:.1f}s")
     tb.close()
-    history = [
-        {k: (v if isinstance(v, (int, float)) else float(v))
-         for k, v in h.items()}
-        for h in history
-    ]
+    _drain_pending()
     return state, history
 
 

@@ -103,6 +103,14 @@ def main() -> None:
     g = D.allgather_host(np.asarray([float(rank)], np.float64))
     assert g.shape == (2, 1) and float(g.sum()) == 1.0, g
 
+    # variable-leading-dim allgather (reference allgather_diff_shape,
+    # dist.py:122-146): rank r contributes r+1 rows
+    vr = np.full((rank + 1, 2), float(rank), np.float32)
+    parts = D.allgather_host_varlen(vr)
+    assert [p.shape for p in parts] == [(1, 2), (2, 2)], parts
+    for r, p in enumerate(parts):
+        np.testing.assert_array_equal(p, np.full((r + 1, 2), float(r)))
+
     with open(os.path.join(out_dir, f"report_rank{rank}.json"), "w") as f:
         json.dump({
             "rank": rank,

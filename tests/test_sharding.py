@@ -90,6 +90,8 @@ def test_distributed_helpers_single_process():
     x = np.array([1.0, 2.0])
     np.testing.assert_array_equal(D.allreduce_host(x), x)
     assert D.allgather_host(x).shape == (1, 2)
+    parts = D.allgather_host_varlen(np.ones((3, 2), np.float32))
+    assert len(parts) == 1 and parts[0].shape == (3, 2)
 
     calls = []
 
