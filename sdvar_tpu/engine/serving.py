@@ -229,12 +229,53 @@ class GenerationServer:
         return batch
 
     def _place(self, arr):
-        """Mesh mode: shard the batch over "data"; no-op otherwise."""
+        """Mesh mode: shard the batch over "data"; no-op otherwise.
+
+        Multi-process SPMD serving (reference production mode: torchrun,
+        dist.py:20-49): every process runs the same scheduler over the same
+        request stream; each contributes its contiguous per-process slice
+        of the global batch (parallel.mesh.shard_batch stitches them with
+        no cross-host transfer)."""
         if self.mesh is None:
             return arr
+        from jax.sharding import PartitionSpec as P
+
+        from sdvar_tpu.parallel.mesh import shard_batch
+
+        arr = np.asarray(arr)
+        if jax.process_count() > 1:
+            assert arr.shape[0] % jax.process_count() == 0, \
+                (arr.shape, jax.process_count())
+            per = arr.shape[0] // jax.process_count()
+            r = jax.process_index()
+            arr = arr[r * per:(r + 1) * per]
+        return shard_batch(self.mesh, arr, P("data"))
+
+    def _place_keys(self, seeds: np.ndarray):
+        """Per-request PRNG keys, data-sharded. Typed key arrays can't pass
+        through make_array_from_process_local_data, so multi-process mode
+        ships the raw key DATA and rebuilds the typed keys in a one-op jit
+        under the mesh."""
+        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+        if self.mesh is None:
+            return keys
+        if jax.process_count() <= 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(keys, NamedSharding(self.mesh, P("data")))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+        from sdvar_tpu.parallel.mesh import shard_batch
+
+        kd = np.asarray(jax.random.key_data(keys))  # (B, key_words)
+        per = kd.shape[0] // jax.process_count()
+        r = jax.process_index()
+        kd_g = shard_batch(self.mesh, kd[r * per:(r + 1) * per],
+                           P("data", None))
+        return jax.jit(
+            jax.random.wrap_key_data,
+            out_shardings=NamedSharding(self.mesh, P("data")),
+        )(kd_g)
 
     def _run_batch(self, batch: List[Request]):
         from sdvar_tpu.engine.decode import decode_all_scales
@@ -247,8 +288,8 @@ class GenerationServer:
         for i, r in enumerate(batch):
             labels[i] = r.label
             seeds[i] = np.uint32(r.seed)
-        keys = self._place(jax.vmap(jax.random.key)(jnp.asarray(seeds)))
-        labels_d = self._place(jnp.asarray(labels))
+        keys = self._place_keys(seeds)
+        labels_d = self._place(labels)
 
         if self.engine is not None:
             # speculative mode: draft/target pair, per-request key streams
@@ -292,11 +333,14 @@ class GenerationServer:
                 cache=cache, return_cache=True,
             )
             self._caches[bsz] = cache
-        # bf16 pixel decode: the CNN decoder dominates end-to-end request
+        # fast pixel decode: the CNN decoder dominates end-to-end request
         # cost once the latent decode is quantized (bench_serving: 11.4
-        # img/s e2e vs 41.7 latent-only with the f32-HIGHEST decoder)
+        # img/s e2e vs 41.7 latent-only with the f32-HIGHEST decoder).
+        # bf16 servers use the channels-last NHWC decoder (tools/
+        # bench_pixels.py: the NCHW bf16 path ran at ~12% of peak from
+        # layout transposes); f32 servers keep the golden NCHW path.
         if self.dtype == jnp.bfloat16:
-            imgs = VQ.fhat_to_img_bf16(self.vae_cfg, self.vae_params, f_hat)
+            imgs = VQ.fhat_to_img_nhwc(self.vae_cfg, self.vae_params, f_hat)
         else:
             imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)
         imgs = (imgs + 1.0) * 0.5
@@ -305,18 +349,37 @@ class GenerationServer:
         self._deliver_q.put((batch, imgs, bsz))
 
     def _deliver(self, batch: List[Request], imgs, bsz: int):
-        imgs = np.asarray(imgs)  # sync point: device -> host
+        # sync point: device -> host. Multi-process SPMD serving: the image
+        # batch is a GLOBAL array data-sharded across processes; each
+        # process materializes and delivers only the rows it hosts (every
+        # process runs the same batches, so every request is delivered by
+        # exactly one process — query a request on the process that owns
+        # its slot: slot // (bucket / process_count) == process_index).
+        if isinstance(imgs, jax.Array) and not imgs.is_fully_addressable:
+            rows: Dict[int, np.ndarray] = {}
+            for s in imgs.addressable_shards:
+                start = s.index[0].start or 0
+                data = np.asarray(s.data)
+                for j in range(data.shape[0]):
+                    rows.setdefault(start + j, data[j])
+        else:
+            arr = np.asarray(imgs)
+            rows = {i: arr[i] for i in range(arr.shape[0])}
         n = len(batch)
         now = time.time()
+        delivered = 0
         with self._results_cv:
             for i, r in enumerate(batch):
+                if i not in rows:
+                    continue  # hosted (and delivered) by another process
                 self._results[r.id] = Result(
-                    id=r.id, image=imgs[i], latency_s=now - r.submit_t,
+                    id=r.id, image=rows[i], latency_s=now - r.submit_t,
                     batch_size=bsz,
                 )
+                delivered += 1
             self._results_cv.notify_all()
         with self._stats_lock:
-            self.stats["completed"] += n
+            self.stats["completed"] += delivered
             self.stats["batches"] += 1
             self.stats["occupancy_sum"] += n / bsz
 

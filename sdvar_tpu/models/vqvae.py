@@ -140,6 +140,137 @@ def decoder_forward(cfg: VQVAEConfig, p: Params, z: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# channels-last (NHWC) decoder path — the serving/FID fast pixel decode
+# ---------------------------------------------------------------------------
+#
+# The NCHW layout above is checkpoint-golden but maps poorly onto the TPU
+# conv units: XLA inserts layout transposes around nearly every 3x3 conv
+# (channels must land on the lane dimension), and the measured bf16 decoder
+# ran at ~12% of peak (111 ms per B=16 batch — BENCHMARKS.md pixel-decoder
+# cost). The NHWC path runs the SAME weights with channels last end-to-end:
+# kernels are transposed OIHW->HWIO on the fly (a few MB, fused into the
+# first use), GroupNorm reduces over (H, W, C/G) contiguously, and the x2
+# nearest upsample is a broadcast-reshape. Numerics: identical math modulo
+# f32/bf16 summation order inside the convs (XLA picks a different
+# contraction layout), bounded by tests/test_serving.py against the NCHW
+# golden path.
+
+def conv2d_nhwc(p: Params, x: jnp.ndarray, stride: int = 1,
+                padding=((1, 1), (1, 1))) -> jnp.ndarray:
+    w = jnp.transpose(p["w"], (2, 3, 1, 0)).astype(x.dtype)  # OIHW -> HWIO
+    # precision comes from the ambient jax.default_matmul_precision scope
+    # set by fhat_to_img_nhwc (bf16: native; f32: highest or bfloat16_3x)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def group_norm_nhwc(p: Params, x: jnp.ndarray, groups: int = 32,
+                    eps: float = 1e-6) -> jnp.ndarray:
+    """Channels-last GroupNorm with MXU segment-sum statistics.
+
+    160 ch / 32 groups = 5 lanes per group: a reshape-to-groups reduction is
+    pathological in NHWC (the lane dimension collapses to 5). Instead the
+    per-group sums of x and x^2 are one (B, HW, C) x (C, G) matmul against a
+    0/1 group-membership matrix, and the normalization is applied with the
+    per-CHANNEL gathered stats (the same segment-matmul trick as the
+    transformer's QK L2 norm, BENCHMARKS.md)."""
+    B, H, W, C = x.shape
+    seg = jnp.equal(
+        jnp.arange(C)[:, None] // (C // groups),
+        jnp.arange(groups)[None, :],
+    ).astype(jnp.float32)                       # (C, G) group membership
+    xf = x.reshape(B, H * W, C).astype(jnp.float32)
+    # stats stay f32 regardless of the ambient precision scope (the bf16
+    # path sets default_matmul_precision=bfloat16 for the convs)
+    s1 = jnp.einsum("bnc,cg->bg", xf, seg, precision=HI)       # group sums
+    s2 = jnp.einsum("bnc,cg->bg", xf * xf, seg, precision=HI)  # sums of sq
+    cnt = H * W * (C // groups)
+    mu_g = s1 / cnt                              # (B, G)
+    var_g = s2 / cnt - mu_g * mu_g
+    # broadcast group stats back to channels: (B, G) @ (G, C)
+    segT = seg.T
+    mu_c = jnp.einsum("bg,gc->bc", mu_g, segT,
+                      precision=HI)[:, None, None, :]   # (B, 1, 1, C)
+    rstd_c = jnp.einsum("bg,gc->bc", jax.lax.rsqrt(var_g + eps), segT,
+                        precision=HI)[:, None, None, :]
+    xn = ((x.reshape(B, H, W, C).astype(jnp.float32) - mu_c)
+          * rstd_c).astype(x.dtype)
+    return xn * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def resnet_block_nhwc(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = conv2d_nhwc(p["conv1"], swish(group_norm_nhwc(p["norm1"], x)))
+    h = conv2d_nhwc(p["conv2"], swish(group_norm_nhwc(p["norm2"], h)))
+    if "nin_shortcut" in p:
+        x = conv2d_nhwc(p["nin_shortcut"], x, padding=((0, 0), (0, 0)))
+    return x + h
+
+
+def attn_block_nhwc(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    qkv = conv2d_nhwc(p["qkv"], group_norm_nhwc(p["norm"], x),
+                      padding=((0, 0), (0, 0)))
+    q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * C), 3, axis=2)
+    w = jax.nn.softmax(
+        jnp.einsum("bnc,bmc->bnm", q, k) * (C ** -0.5), axis=2)
+    h = jnp.einsum("bnm,bmc->bnc", w, v)
+    return x + conv2d_nhwc(p["proj_out"], h.reshape(B, H, W, C),
+                           padding=((0, 0), (0, 0)))
+
+
+def upsample2x_nhwc(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return conv2d_nhwc(p, x.reshape(B, 2 * H, 2 * W, C))
+
+
+def decoder_forward_nhwc(cfg: VQVAEConfig, p: Params,
+                         z: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, Cvae) -> (B, 16h, 16w, 3); same program as
+    ``decoder_forward`` in channels-last layout."""
+    nres = len(cfg.ch_mult)
+    h = conv2d_nhwc(p["conv_in"], z)
+    h = resnet_block_nhwc(p["mid"]["block_1"], h)
+    if cfg.using_mid_sa:
+        h = attn_block_nhwc(p["mid"]["attn_1"], h)
+    h = resnet_block_nhwc(p["mid"]["block_2"], h)
+    for i in reversed(range(nres)):
+        level = p["up"][i]
+        for j in range(cfg.num_res_blocks + 1):
+            h = resnet_block_nhwc(level["block"][j], h)
+            if level["attn"]:
+                h = attn_block_nhwc(level["attn"][j], h)
+        if i != 0:
+            h = upsample2x_nhwc(level["upsample"], h)
+    return conv2d_nhwc(p["conv_out"], swish(group_norm_nhwc(p["norm_out"], h)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "precision"))
+def fhat_to_img_nhwc(cfg: VQVAEConfig, p: Params, f_hat: jnp.ndarray,
+                     dtype=jnp.bfloat16,
+                     precision: str = "highest") -> jnp.ndarray:
+    """Fast pixel decode: channels-last end-to-end, bf16 (serving) or f32.
+    Input f_hat is NCHW (decode-engine layout); output is NCHW [-1, 1] like
+    ``fhat_to_img``. See the NHWC block comment above for why this exists.
+
+    ``precision`` (f32 input only): "highest" = 6-pass bf16 emulation
+    (matches the golden path's conv numerics class); "high" = 3-pass
+    bfloat16_3x (~2x faster convs, relative error ~1e-6 — still far inside
+    FID insensitivity; measured deltas in tools/bench_pixels.py)."""
+    prec = ("bfloat16" if dtype == jnp.bfloat16
+            else {"highest": "float32", "high": "BF16_BF16_F32_X3"}[precision])
+    with jax.default_matmul_precision(prec):
+        z = f_hat.transpose(0, 2, 3, 1).astype(dtype)
+        z = conv2d_nhwc(p["post_quant_conv"], z)
+        img = decoder_forward_nhwc(cfg, p["decoder"], z)
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+        return img.transpose(0, 3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
 # public VQVAE API (reference: models/vqvae.py:56-90)
 # ---------------------------------------------------------------------------
 

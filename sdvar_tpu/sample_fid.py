@@ -38,12 +38,35 @@ def balanced_labels(num: int, num_classes: int = 1000) -> np.ndarray:
     return np.repeat(np.arange(num_classes, dtype=np.int32), counts)
 
 
+def _pixel_decoder(pixels: str):
+    from sdvar_tpu.models import vqvae as VQ
+
+    if pixels == "f32":
+        return VQ.fhat_to_img                               # golden protocol
+    if pixels == "f32-nhwc":
+        return lambda cfg, p, f: VQ.fhat_to_img_nhwc(
+            cfg, p, f, dtype=jnp.float32)
+    assert pixels == "bf16", pixels
+    return VQ.fhat_to_img_nhwc                              # serving decoder
+
+
 def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
                    samp, dtype=jnp.bfloat16, kv_mode="bf16", seed0=0,
                    log_every=50, pixels="f32"):
-    """Yield (B, 3, H, W) [0,1] image batches covering ``labels``."""
+    """Yield (B, 3, H, W) [0,1] image batches covering ``labels``.
+
+    Two-deep software pipeline (VERDICT round-3 item 6): a dispatcher
+    thread keeps up to 2 decode batches in flight on the device and a
+    materializer thread owns the device->host sync, so the consumer's
+    host-side packing (npz copy / PNG encode, ~40 ms/img measured) overlaps
+    BOTH the next batch's decode and the previous batch's transfer. The
+    previous one-deep version (dispatch i+1 then sync i on one thread)
+    still serialized packing with dispatch: measured 10.4 img/s vs an 18.3
+    ideal at f32 (BENCHMARKS.md FID-pipeline note)."""
+    import queue as _queue
+    import threading
+
     from sdvar_tpu.engine.decode import decode_all_scales
-    from sdvar_tpu.models import vqvae as VQ
     from sdvar_tpu.models.var import KVCache
 
     if kv_mode == "int8":
@@ -53,46 +76,80 @@ def sample_batches(var_cfg, vae_cfg, var_params, vae_params, labels, batch,
     else:
         cache = KVCache.create(var_cfg, 2 * batch, dtype=dtype)
 
+    to_img = _pixel_decoder(pixels)
     n = len(labels)
     t0 = time.time()
-    # one-batch software pipeline: dispatch batch i+1's decode BEFORE the
-    # device->host sync of batch i (np.asarray is the sync point; JAX
-    # dispatch is async), so the chip never idles during pixel transfer /
-    # host-side packing — the same overlap the serving scheduler uses
-    # (engine/serving.py delivery thread).
-    pending = None  # (async device image, pad, done_count, batch_index)
+    device_q: "_queue.Queue" = _queue.Queue(maxsize=2)  # async device arrays
+    host_q: "_queue.Queue" = _queue.Queue(maxsize=2)    # np arrays
+    stop = threading.Event()
 
-    def materialize(p):
-        img_d, pad, done, bi = p
-        img = np.asarray(img_d)
-        if pad:
-            img = img[:-pad]
-        if log_every and bi % log_every == 0:
-            rate = done / max(time.time() - t0, 1e-9)
-            print(f"[fid-sample] {done}/{n} ({rate:.1f} img/s)", flush=True)
-        return img
+    def dispatcher():
+        nonlocal cache
+        try:
+            for off in range(0, n, batch):
+                if stop.is_set():
+                    return
+                chunk = labels[off:off + batch]
+                pad = batch - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,), np.int32)])
+                # per-sample seeds -> batch-composition-independent outputs
+                seeds = (seed0 + off + np.arange(batch)).astype(np.uint32)
+                keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+                f_hat, cache = decode_all_scales(
+                    var_cfg, vae_cfg, var_params, vae_params["quant"],
+                    jnp.asarray(chunk, jnp.int32), keys, samp, dtype,
+                    kv_mode=kv_mode, cache=cache, return_cache=True,
+                )
+                img_d = (to_img(vae_cfg, vae_params, f_hat) + 1.0) * 0.5
+                device_q.put((img_d, pad, min(off + batch, n)))
+            device_q.put(None)
+        except BaseException as e:  # surfaced to the consumer
+            device_q.put(e)
 
-    for bi, off in enumerate(range(0, n, batch)):
-        chunk = labels[off:off + batch]
-        pad = batch - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad,), np.int32)])
-        # per-sample seeds -> batch-composition-independent outputs
-        seeds = (seed0 + off + np.arange(batch)).astype(np.uint32)
-        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
-        f_hat, cache = decode_all_scales(
-            var_cfg, vae_cfg, var_params, vae_params["quant"],
-            jnp.asarray(chunk, jnp.int32), keys, samp, dtype,
-            kv_mode=kv_mode, cache=cache, return_cache=True,
-        )
-        to_img = (VQ.fhat_to_img_bf16 if pixels == "bf16"
-                  else VQ.fhat_to_img)
-        img_d = (to_img(vae_cfg, vae_params, f_hat) + 1.0) * 0.5
-        if pending is not None:
-            yield materialize(pending)
-        pending = (img_d, pad, min(off + batch, n), bi)
-    if pending is not None:
-        yield materialize(pending)
+    def materializer():
+        try:
+            while True:
+                item = device_q.get()
+                if item is None or isinstance(item, BaseException):
+                    host_q.put(item)
+                    return
+                img_d, pad, done = item
+                img = np.asarray(img_d)  # device -> host sync
+                if pad:
+                    img = img[:-pad]
+                host_q.put((img, done))
+        except BaseException as e:
+            host_q.put(e)
+
+    threads = [threading.Thread(target=dispatcher, daemon=True),
+               threading.Thread(target=materializer, daemon=True)]
+    for t in threads:
+        t.start()
+    bi = 0
+    try:
+        while True:
+            item = host_q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            img, done = item
+            if log_every and bi % log_every == 0:
+                rate = done / max(time.time() - t0, 1e-9)
+                print(f"[fid-sample] {done}/{n} ({rate:.1f} img/s)",
+                      flush=True)
+            bi += 1
+            yield img
+    finally:
+        stop.set()
+        # unblock threads parked on full queues, then let them exit
+        for q in (device_q, host_q):
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                pass
 
 
 def main():
@@ -107,11 +164,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quant", choices=["none", "w8", "w8a8"], default="none")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16")
-    ap.add_argument("--pixels", choices=["f32", "bf16"], default="f32",
-                    help="pixel decoder: f32 = golden FID protocol; bf16 = "
-                         "serving decoder (~2x faster; mean delta ~1.5 "
-                         "8-bit steps — use for pipeline shakeouts, keep "
-                         "f32 for reported FID)")
+    ap.add_argument("--pixels", choices=["f32", "f32-nhwc", "bf16"],
+                    default="f32",
+                    help="pixel decoder: f32 = golden NCHW FID protocol; "
+                         "f32-nhwc = channels-last f32 (faster, conv-"
+                         "reassociation noise only); bf16 = channels-last "
+                         "serving decoder (fastest; mean delta ~1.5 8-bit "
+                         "steps — pipeline shakeouts, keep f32 for "
+                         "reported FID)")
     ap.add_argument("--out", type=str, default="/tmp/sdvar_samples.npz")
     ap.add_argument("--png-dir", type=str, default=None,
                     help="also write PNGs (reference flow) to this folder")

@@ -86,6 +86,7 @@ def run_training(
     mesh_cfg: Optional[MeshConfig] = None,
     var_cfg: Optional[VARConfig] = None,
     vae_cfg: Optional[VQVAEConfig] = None,
+    token_root: Optional[str] = None,
 ):
     """Epoch loop over a data×model device mesh.
 
@@ -115,7 +116,18 @@ def run_training(
     assert bs % world == 0, (bs, world)
     if mesh is not None:
         assert bs % mesh.shape["data"] == 0, (bs, mesh.shape)
-    train_set = build_dataset(data_root, reso=tc.reso, train=True)
+    pretokenized = token_root is not None
+    if pretokenized:
+        # pre-tokenized pipeline (tools/pretokenize.py): the per-step VQVAE
+        # encode — half the d16 step time — is paid once, offline
+        from sdvar_tpu.train.pretokenize import TokenDataset
+
+        train_set = TokenDataset(token_root)
+        if D.is_master():
+            print(f"[data] token dataset: {len(train_set)} samples x "
+                  f"{train_set.passes} passes (L={train_set.L})")
+    else:
+        train_set = build_dataset(data_root, reso=tc.reso, train=True)
     val_set = build_dataset(data_root, reso=tc.reso, train=False,
                             synthetic_len=64)
 
@@ -185,6 +197,9 @@ def run_training(
     while g_it < max_it:
         if max_iters is not None and g_it >= max_iters:
             break
+        if pretokenized:
+            # rotate the stored augmentation pass with the epoch
+            train_set.set_epoch(g_it // iters_per_ep)
         idxs = next(it_stream)
         if native is not None:
             native.enqueue(idxs)
@@ -222,7 +237,7 @@ def run_training(
             grad_accum=tc.grad_accum, dtype=dtype,
             prog_si=prog_si, prog_wp=jnp.asarray(prog_wp, jnp.float32),
             remat=tc.remat, tokenize_bf16=tc.tokenize_bf16,
-            optimizer=tc.optimizer,
+            optimizer=tc.optimizer, pretokenized=pretokenized,
         )
         g_it += 1
         if tc.dbg_nan:
@@ -339,6 +354,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--tokens", type=str, default=None,
+                    help="pre-tokenized dataset dir (tools/pretokenize.py); "
+                         "skips the per-step VQVAE encode")
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--ep", type=int, default=1)
@@ -371,7 +389,7 @@ def main():
                      dbg_nan=args.dbg_nan)
     run_training(tc, data_root=args.data, out_dir=args.out,
                  max_iters=args.max_iters, batch_override=args.bs,
-                 mesh_cfg=mesh_cfg)
+                 mesh_cfg=mesh_cfg, token_root=args.tokens)
 
 
 if __name__ == "__main__":

@@ -157,7 +157,7 @@ def loss_and_metrics(
     jax.jit,
     static_argnames=("var_cfg", "vae_cfg", "clip", "label_smooth",
                      "grad_accum", "dtype", "prog_si", "remat",
-                     "tokenize_bf16", "optimizer"),
+                     "tokenize_bf16", "optimizer", "pretokenized"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -171,6 +171,7 @@ def train_step(
     remat: bool = False,
     tokenize_bf16: bool = False,
     optimizer: str = "adamw",
+    pretokenized: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """One full training step: tokenize -> forward/backward (optionally
     scan-accumulated over ``grad_accum`` micro-batches) -> clip -> AdamW.
@@ -178,15 +179,24 @@ def train_step(
     ``tokenize_bf16``: run the frozen-VQVAE encoder in bf16 (GN stats f32)
     — the f32-HIGHEST tokenize is half the d16 step time; token flips occur
     only where top-2 codebook distances sit within bf16 conv noise
-    (measured agreement: tests/test_trainer.py)."""
+    (measured agreement: tests/test_trainer.py).
+
+    ``pretokenized``: ``img`` is instead the stored gt token ids (B, L)
+    int32 (train/pretokenize.py); the per-step VQVAE encode — identical
+    work every epoch under a frozen tokenizer — is skipped entirely. The
+    reference pays this tax every step forever (trainer.py:105-107)."""
     tx = make_optimizer(clip, optimizer)
     mask = decay_mask(state.params)
     tokenize = VQ.img_to_idxBl_bf16 if tokenize_bf16 else VQ.img_to_idxBl
 
     def forward_on(params, img_mb, label_mb, key):
-        gt_idx = tokenize(vae_cfg, vae_params, img_mb)
-        gt_idx = [jax.lax.stop_gradient(i) for i in gt_idx]
-        gt_BL = jnp.concatenate(gt_idx, axis=1)
+        if pretokenized:
+            gt_BL = img_mb  # (B, L) int32 token ids from the token dataset
+            gt_idx = [gt_BL[:, bg:ed] for bg, ed in var_cfg.begin_ends]
+        else:
+            gt_idx = tokenize(vae_cfg, vae_params, img_mb)
+            gt_idx = [jax.lax.stop_gradient(i) for i in gt_idx]
+            gt_BL = jnp.concatenate(gt_idx, axis=1)
         x_in = jax.lax.stop_gradient(
             Q.idx_to_var_input(vae_cfg, vae_params["quant"], gt_idx)
         )

@@ -1,11 +1,33 @@
-"""Shared constants/configs for the multi-process test pair
-(test_multiprocess.py parent + mp_worker.py subprocess). Import-side-effect
-free: the worker does its own JAX platform setup BEFORE importing this."""
+"""Shared constants/configs for the multi-process test modules
+(test_multiprocess.py / test_multiprocess_infer.py parents + their worker
+subprocesses). Import-side-effect free: the workers do their own JAX
+platform setup BEFORE importing this."""
+
+import contextlib
+import fcntl
+import os
+import tempfile
 
 PNS = (1, 2, 3)
 SEED = 3
 GLOBAL_BS = 128
 MAX_ITERS = 8
+
+
+@contextlib.contextmanager
+def multiprocess_launch_lock():
+    """Cross-xdist-worker mutex: each multi-process fixture spawns 2 OS
+    processes x 4 virtual devices with gloo collectives; two such launches
+    overlapping on a small CI box starve each other into distributed-init
+    timeouts (observed as nonzero worker returncodes in the full suite).
+    Serialize the launches with a file lock."""
+    path = os.path.join(tempfile.gettempdir(), "sdvar_mp_launch.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def tiny_configs():

@@ -22,7 +22,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tests.mp_common import GLOBAL_BS, MAX_ITERS, SEED, tiny_configs
+from tests.mp_common import (
+    GLOBAL_BS,
+    MAX_ITERS,
+    SEED,
+    multiprocess_launch_lock,
+    tiny_configs,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -40,32 +46,33 @@ def mp_reports(tmp_path_factory):
     port = _free_port()
     env_base = {k: v for k, v in os.environ.items()
                 if not k.startswith(("SDVAR_", "JAX_", "XLA_"))}
-    procs = []
-    for rank in range(2):
-        env = dict(
-            env_base,
-            SDVAR_NUM_PROCESSES="2",
-            SDVAR_PROCESS_ID=str(rank),
-            SDVAR_COORDINATOR=f"localhost:{port}",
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"), out],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        ))
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=1200)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(stdout)
-    for rank, (p, log) in enumerate(zip(procs, logs)):
-        assert p.returncode == 0, (
-            f"rank {rank} failed (rc={p.returncode}):\n{log[-4000:]}"
-        )
+    with multiprocess_launch_lock():
+        procs = []
+        for rank in range(2):
+            env = dict(
+                env_base,
+                SDVAR_NUM_PROCESSES="2",
+                SDVAR_PROCESS_ID=str(rank),
+                SDVAR_COORDINATOR=f"localhost:{port}",
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"), out],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        logs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=1200)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            logs.append(stdout)
+        for rank, (p, log) in enumerate(zip(procs, logs)):
+            assert p.returncode == 0, (
+                f"rank {rank} failed (rc={p.returncode}):\n{log[-4000:]}"
+            )
     reports = []
     for rank in range(2):
         with open(os.path.join(out, f"report_rank{rank}.json")) as f:

@@ -201,6 +201,30 @@ def test_bf16_pixel_decode_close_to_f32(server_stack):
     assert np.abs(a - b).max() < 0.15
 
 
+def test_nhwc_pixel_decode_matches_nchw(server_stack):
+    """The channels-last fast decoder runs the SAME weights as the NCHW
+    golden path: f32 NHWC must track golden f32 to conv-reassociation noise;
+    bf16 NHWC gets the same pixel-step bound as fhat_to_img_bf16."""
+    from sdvar_tpu.models import vqvae as VQ
+
+    var_cfg, vae_cfg, var_params, vae_params = server_stack
+    Cvae, pn = vae_cfg.z_channels, PNS[-1]
+    f_hat = jax.random.normal(jax.random.PRNGKey(3), (2, Cvae, pn, pn))
+    gold = np.asarray(VQ.fhat_to_img(vae_cfg, vae_params, f_hat))
+    f32 = np.asarray(VQ.fhat_to_img_nhwc(vae_cfg, vae_params, f_hat,
+                                         dtype=jnp.float32))
+    bf16 = np.asarray(VQ.fhat_to_img_nhwc(vae_cfg, vae_params, f_hat))
+    assert f32.shape == gold.shape == bf16.shape
+    # f32 NHWC differs from NCHW only by contraction-order rounding
+    assert np.abs(gold - f32).max() < 2e-4
+    # bf16 NHWC: same MEAN bound as the NCHW bf16 serving decoder above;
+    # the outlier cap is marginally looser (measured 0.151 at the
+    # random-weight worst case vs NCHW's 0.15 — same error class,
+    # different conv contraction order)
+    assert np.abs(gold - bf16).mean() < 0.02
+    assert np.abs(gold - bf16).max() < 0.2
+
+
 def test_server_uses_bf16_decode_only_for_bf16_dtype(server_stack,
                                                      monkeypatch):
     """Assert the dtype dispatch directly: the bf16 server calls
@@ -210,9 +234,10 @@ def test_server_uses_bf16_decode_only_for_bf16_dtype(server_stack,
     from sdvar_tpu.models import vqvae as VQ
 
     calls = []
-    real_bf16, real_f32 = VQ.fhat_to_img_bf16, VQ.fhat_to_img
-    monkeypatch.setattr(VQ, "fhat_to_img_bf16",
-                        lambda *a: calls.append("bf16") or real_bf16(*a))
+    real_bf16, real_f32 = VQ.fhat_to_img_nhwc, VQ.fhat_to_img
+    monkeypatch.setattr(VQ, "fhat_to_img_nhwc",
+                        lambda *a, **k: calls.append("bf16")
+                        or real_bf16(*a, **k))
     monkeypatch.setattr(VQ, "fhat_to_img",
                         lambda *a: calls.append("f32") or real_f32(*a))
 

@@ -51,7 +51,8 @@ def mem_stats(tag: str):
 def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                bf16_params: bool = False, sgd: bool = False,
                reso: int = 256, grad_accum: int = 1, shared_aln: bool = False,
-               tokenize_bf16: bool = False, optimizer: str = "adamw"):
+               tokenize_bf16: bool = False, optimizer: str = "adamw",
+               pretokenized: bool = False):
     from sdvar_tpu.config import TrainConfig, VARConfig, VQVAEConfig
     from sdvar_tpu.models.var import count_params, init_var_params
     from sdvar_tpu.models.vqvae import init_vqvae_params
@@ -128,11 +129,18 @@ def bench_step(depth: int, B: int, iters: int = 5, remat: bool = False,
                 jnp.asarray(1e-4, jnp.float32), jnp.asarray(0.05, jnp.float32),
                 jax.random.PRNGKey(i), clip=tc.grad_clip, label_smooth=0.1,
                 grad_accum=grad_accum, dtype=jnp.bfloat16, remat=remat,
-                tokenize_bf16=tokenize_bf16, optimizer=optimizer)
+                tokenize_bf16=tokenize_bf16, optimizer=optimizer,
+                pretokenized=pretokenized)
             return float(metrics["loss"])
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(-1, 1, (B, 3, reso, reso)), jnp.float32)
+    if pretokenized:
+        # pre-tokenized pipeline (tools/pretokenize.py): the step consumes
+        # stored token ids; token VALUES don't affect throughput
+        img = jnp.asarray(
+            rng.integers(0, var_cfg.vocab_size, (B, var_cfg.L)), jnp.int32)
+    else:
+        img = jnp.asarray(rng.uniform(-1, 1, (B, 3, reso, reso)), jnp.float32)
     label = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
 
     t0 = time.time()
@@ -339,4 +347,5 @@ if __name__ == "__main__":
             shared_aln="reso512" in flags,  # d36-s recipe uses shared AdaLN
             tokenize_bf16="tok16" in flags,
             optimizer="adafactor" if "adafactor" in flags else "adamw",
+            pretokenized="tokens" in flags,
         )
