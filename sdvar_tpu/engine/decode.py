@@ -27,7 +27,9 @@ from sdvar_tpu.models import quantizer as Q
 from sdvar_tpu.models import var as M
 from sdvar_tpu.models.var import KVCache
 from sdvar_tpu.ops.sampling import (
+    cfg_double,
     cfg_mix,
+    cfg_pair,
     fold_key,
     gumbel_softmax,
     sample_with_top_k_top_p,
@@ -74,7 +76,7 @@ def scale_step(
     else:
         nm = state.next_map.reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
         x = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
-        x = jnp.tile(x, (2, 1, 1)).astype(dtype)  # CFG doubling
+        x = cfg_double(x).astype(dtype)  # CFG doubling (shard-local layout)
 
     # Odd token counts hit a pathological XLA matmul emitter (d30 scale 8:
     # fc2 ran at 38% MFU as (B, 169, K) vs 85% at 256 — profile_decode).
@@ -140,9 +142,8 @@ def init_decode(
     Pallas kernel masks its padded rows).
     """
     B = label_B.shape[0]
-    label_2B = jnp.concatenate(
-        [label_B, jnp.full_like(label_B, var_cfg.num_classes)]
-    )
+    label_2B = cfg_pair(label_B,
+                        jnp.full_like(label_B, var_cfg.num_classes))
     lvl_pos = M.lvl_pos_embed(var_cfg, params).astype(jnp.float32)
     sos = params["class_emb"][label_2B].astype(jnp.float32)
     HW = var_cfg.patch_nums[-1]

@@ -47,7 +47,12 @@ from sdvar_tpu.engine.decode import DecodeState, init_decode, scale_step
 from sdvar_tpu.models import quantizer as Q
 from sdvar_tpu.models import var as M
 from sdvar_tpu.ops.masks import prefill_bias, verify_window_bias
-from sdvar_tpu.ops.sampling import cfg_mix, fold_key, sample_with_top_k_top_p
+from sdvar_tpu.ops.sampling import (
+    cfg_double,
+    cfg_mix,
+    fold_key,
+    sample_with_top_k_top_p,
+)
 
 DRAFT_STREAM = 1
 TARGET_STREAM = 2
@@ -162,7 +167,7 @@ def _target_verify_window(
             pn = pns[k]
             nm = nm.reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
             q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
-            q = jnp.tile(q, (2, 1, 1)).astype(dtype)
+            q = cfg_double(q).astype(dtype)
         qs.append(q)
     x = jnp.concatenate(qs, axis=1)
 
@@ -237,7 +242,7 @@ def _target_prefill_handoff(
         pn = pns[k]
         nm = hub[k - 1].reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
         q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
-        qs.append(jnp.tile(q, (2, 1, 1)).astype(dtype))
+        qs.append(cfg_double(q).astype(dtype))
     x = jnp.concatenate(qs, axis=1)
 
     P = var_cfg.begin_ends[entry_num][1]
@@ -313,7 +318,7 @@ def _takeover_generate(
             pn = pns[k]
             nm = nm.reshape(B, var_cfg.Cvae, pn * pn).transpose(0, 2, 1)
             q = M.word_embed(params, nm, jnp.float32) + lvl_pos[None, bg:ed]
-            q = jnp.tile(q, (2, 1, 1)).astype(dtype)
+            q = cfg_double(q).astype(dtype)
         qs.append(q)
     x = jnp.concatenate(qs, axis=1)
 

@@ -209,12 +209,64 @@ def gumbel_softmax(
     return y_hard + jax.lax.stop_gradient(y_soft) - y_soft
 
 
+def _cfg_groups() -> int:
+    """Data-axis size of the registered TP mesh (trace-time; 1 = no mesh).
+
+    Governs the CFG doubled-batch LAYOUT: with a >1-way data axis, cond and
+    uncond rows are interleaved per data shard ([c_0 u_0 | c_1 u_1 | ...] in
+    shard-major blocks) instead of the reference's global [cond ‖ uncond]
+    concat (reference: models/var.py:162,188). Under P("data") sharding of
+    the 2B axis every shard then holds exactly its own requests' cond AND
+    uncond rows, so the doubling, the halves split, and the CFG mix are all
+    shard-LOCAL — the global concat instead misaligns with the sharding and
+    GSPMD inserts cross-shard (on 2+ hosts: cross-DCN) reshards around every
+    scale (measured: tests/test_multihost_aot.py). Pure row permutation:
+    per-request results are bitwise identical in every layout."""
+    from sdvar_tpu.ops.partition import get_tp_mesh
+
+    mesh = get_tp_mesh()
+    if mesh is None:
+        return 1
+    return int(dict(mesh.shape).get("data", 1))
+
+
+def cfg_pair(cond: jnp.ndarray, uncond: jnp.ndarray) -> jnp.ndarray:
+    """Stack cond/uncond (B, ...) rows into the (2B, ...) CFG batch in the
+    active layout (see _cfg_groups)."""
+    assert cond.shape == uncond.shape, (cond.shape, uncond.shape)
+    B, tail = cond.shape[0], cond.shape[1:]
+    ds = _cfg_groups()
+    if ds <= 1 or B % ds:
+        return jnp.concatenate([cond, uncond], axis=0)
+    s = jnp.stack([cond.reshape((ds, B // ds) + tail),
+                   uncond.reshape((ds, B // ds) + tail)], axis=1)
+    return s.reshape((2 * B,) + tail)
+
+
+def cfg_double(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, ...) -> (2B, ...): the shared input map repeated for cond and
+    uncond rows (replaces the reference's repeat(2, 1, 1),
+    models/var.py:188) in the active layout."""
+    return cfg_pair(x, x)
+
+
+def cfg_halves(y: jnp.ndarray):
+    """(2B, ...) -> (cond (B, ...), uncond (B, ...)) in the active layout;
+    inverse of cfg_pair."""
+    B2, tail = y.shape[0], y.shape[1:]
+    B = B2 // 2
+    ds = _cfg_groups()
+    if ds <= 1 or B % ds:
+        return y[:B], y[B:]
+    yr = y.reshape((ds, 2, B // ds) + tail)
+    return (yr[:, 0].reshape((B,) + tail), yr[:, 1].reshape((B,) + tail))
+
+
 def cfg_mix(logits_2BlV: jnp.ndarray, t: jnp.ndarray | float) -> jnp.ndarray:
     """Classifier-free guidance mix over a doubled batch:
     (1+t)*cond - t*uncond (reference: models/var.py:199-200). ``t`` may be a
     scalar or a per-token vector (l,) for multi-scale verify windows."""
-    B = logits_2BlV.shape[0] // 2
-    cond, uncond = logits_2BlV[:B], logits_2BlV[B:]
+    cond, uncond = cfg_halves(logits_2BlV)
     if not jnp.isscalar(t) and getattr(t, "ndim", 0) == 1:
         t = t[None, :, None]
     return (1.0 + t) * cond - t * uncond

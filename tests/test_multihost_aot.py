@@ -1,0 +1,250 @@
+"""Multi-HOST (2 hosts / DCN+ICI) topology proof by AOT compilation
+(VERDICT round-3 missing item #3: the AOT story stopped at single-host
+v5e:2x4; BASELINE.md demands scaling reported at 1 chip / 1 host / 2+
+hosts).
+
+No multi-host hardware exists here, so the proof is the same kind round 3
+used for v5e:2x4: AOT-compile the REAL programs against a v5e:4x4 topology
+(16 chips = 2 hosts of 8) with the production mesh layout — DATA axis
+across hosts (DCN), MODEL axis within a host (ICI) — and assert on the
+compiled HLO's collective replica groups:
+
+  - the TP decode's collectives must stay WITHIN one host's partitions
+    (pure ICI; a TP collective crossing DCN would be a layout bug);
+  - the train step may additionally have cross-host collectives, but every
+    one of them must be pure-DP: groups of size 2 pairing the same MODEL
+    coordinate on each host (gradient reductions riding DCN — exactly the
+    reference's multi-node DDP role, reference: dist.py:20-49, train.py:102).
+
+Expected scaling model (BENCHMARKS.md "Multi-host scaling model"): within a
+host TP rides ICI; across hosts only (depth-invariant) gradient/metric
+reductions ride DCN, so data-parallel scaling to 2+ hosts is
+bandwidth-trivial for both serving (independent batches) and training
+(one all-reduce of grads per step).
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdvar_tpu.ops import attention as A
+from sdvar_tpu.ops import sampling as S
+from sdvar_tpu.ops.partition import set_tp_mesh
+from sdvar_tpu.parallel.mesh import DATA, MODEL
+
+# v5e:4x4 (16 chips) reports 4 hosts x 4 chips in this libtpu's topology
+# description; the mesh puts DATA across hosts (DCN) and MODEL within a
+# host (ICI). Set by _v5e_2host_mesh at collection time.
+CHIPS_PER_HOST = 4
+
+
+def _v5e_2host_mesh():
+    from jax.experimental import topologies
+
+    try:
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:4x4")
+    except Exception as e:  # no TPU compiler support in this install
+        pytest.skip(f"AOT TPU topology unavailable: {e}")
+    devs = list(topo.devices)
+    assert len(devs) == 16, len(devs)
+    by_proc = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    if len(by_proc) < 2:
+        pytest.skip(f"topology reports {len(by_proc)} host(s)")
+    sizes = {len(v) for v in by_proc.values()}
+    assert sizes == {CHIPS_PER_HOST}, {k: len(v) for k, v in by_proc.items()}
+    rows = [by_proc[p] for p in sorted(by_proc)]
+    arr = np.asarray(rows)  # (hosts, chips_per_host)
+    return Mesh(arr, (DATA, MODEL))
+
+
+def _collective_groups(hlo: str):
+    """Extract replica/partition groups from compiled HLO text for every
+    collective op. Handles both the literal ``{{0,1},{2,3}}`` form and the
+    iota ``[G,S]<=[d0,...]T(perm)`` form."""
+    groups = []
+    for line in hlo.splitlines():
+        if not re.search(
+                r"all-reduce|all-gather|reduce-scatter|collective-permute"
+                r"|all-to-all", line):
+            continue
+        m = re.search(r"replica_groups=\{(\{[^}]*\}(?:,\{[^}]*\})*)\}", line)
+        if m:
+            for g in re.findall(r"\{([^}]*)\}", m.group(1)):
+                ids = [int(x) for x in g.split(",") if x.strip() != ""]
+                if ids:
+                    groups.append((line, ids))
+            continue
+        m = re.search(
+            r"replica_groups=\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?",
+            line)
+        if m:
+            G, Ssz = int(m.group(1)), int(m.group(2))
+            dims = [int(x) for x in m.group(3).split(",")]
+            iota = np.arange(int(np.prod(dims))).reshape(dims)
+            if m.group(4):
+                perm = [int(x) for x in m.group(4).split(",")]
+                iota = iota.transpose(perm)
+            for ids in iota.reshape(G, Ssz):
+                groups.append((line, [int(x) for x in ids]))
+    return groups
+
+
+def _host_of(pid: int) -> int:
+    # mesh.devices rows are hosts; GSPMD partition ids follow
+    # mesh.devices.flat order -> partitions [0, 8) = host 0, [8, 16) = host 1
+    return pid // CHIPS_PER_HOST
+
+
+def _tiny_cfgs():
+    from sdvar_tpu.config import VARConfig, VQVAEConfig
+
+    pns = (1, 2, 3)
+    var_cfg = VARConfig(depth=8, num_classes=10, patch_nums=pns,
+                        vocab_size=256, Cvae=8, head_dim=64,
+                        cond_drop_rate=0.0, drop_path_rate=0.0)
+    vae_cfg = VQVAEConfig(vocab_size=256, z_channels=8, ch=32,
+                          patch_nums=pns)
+    return var_cfg, vae_cfg
+
+
+def test_tp_decode_collectives_stay_on_ici():
+    """The W8A8+INT8-KV TP decode AOT-compiles for a multi-host slice and every
+    collective's group lies within ONE host (ICI only — decode has no
+    cross-host communication at all under data x model layout)."""
+    from sdvar_tpu.config import SamplingConfig
+    from sdvar_tpu.engine.decode import decode_all_scales
+    from sdvar_tpu.models.quantizer import init_quantizer_params
+    from sdvar_tpu.models.var import init_var_params
+    from sdvar_tpu.ops.quantization import quantize_var_params
+    from sdvar_tpu.parallel.mesh import (
+        create_mesh,
+        shard_tree,
+        var_param_specs,
+    )
+    from sdvar_tpu.config import MeshConfig
+
+    mesh = _v5e_2host_mesh()
+    var_cfg, vae_cfg = _tiny_cfgs()
+    params = quantize_var_params(
+        init_var_params(var_cfg, jax.random.PRNGKey(0)), mode="w8a8")
+    quant = init_quantizer_params(vae_cfg, jax.random.PRNGKey(1), eini=1.0)
+    # lift quantization-aware specs off a CPU placement (same axis names)
+    cpu_mesh = create_mesh(MeshConfig(data=2, model=4))
+    placed = shard_tree(params, var_param_specs(var_cfg), cpu_mesh)
+    params_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, a.dtype, sharding=NamedSharding(mesh, a.sharding.spec)),
+        placed)
+    quant_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, a.dtype, sharding=NamedSharding(mesh, P())), quant)
+    B = 16
+    keys = jax.vmap(jax.random.key)(jnp.arange(B, dtype=jnp.uint32))
+    keys_abs = jax.ShapeDtypeStruct(keys.shape, keys.dtype,
+                                    sharding=NamedSharding(mesh, P()))
+    label_abs = jax.ShapeDtypeStruct((B,), jnp.int32,
+                                     sharding=NamedSharding(mesh, P(DATA)))
+
+    set_tp_mesh(mesh)
+    A.set_attention_impl("pallas")
+    S.set_sampler_impl("pallas")
+    try:
+        hlo = decode_all_scales.lower(
+            var_cfg, vae_cfg, params_abs, quant_abs, label_abs, keys_abs,
+            SamplingConfig(cfg=1.5, top_k=50, top_p=0.9), jnp.bfloat16,
+            kv_mode="int8",
+        ).compile().as_text()
+    finally:
+        set_tp_mesh(None)
+        A.set_attention_impl("auto")
+        S.set_sampler_impl("auto")
+
+    assert "tpu_custom_call" in hlo  # Mosaic kernels made it through
+    groups = _collective_groups(hlo)
+    cross = [(l, g) for l, g in groups
+             if len({_host_of(p) for p in g}) > 1]
+    assert not cross, (
+        f"TP decode has {len(cross)} cross-host collective group(s); "
+        f"first: {cross[0][1]} in\n{cross[0][0][:300]}")
+
+
+def test_train_step_cross_host_collectives_are_pure_dp():
+    """The pre-tokenized train step AOT-compiles for 2 hosts; TP
+    collectives stay within a host, and every collective that does cross
+    DCN is a pure data-parallel pairing: group size == data-axis size (2)
+    with both members at the same MODEL coordinate."""
+    from sdvar_tpu.config import MeshConfig
+    from sdvar_tpu.models.vqvae import init_vqvae_params
+    from sdvar_tpu.parallel.mesh import (
+        create_mesh,
+        shard_tree,
+        var_param_specs,
+    )
+    from sdvar_tpu.train.trainer import init_train_state, train_step
+
+    mesh = _v5e_2host_mesh()
+    var_cfg, vae_cfg = _tiny_cfgs()
+    # build the full TrainState on a CPU mesh with the same axis names so
+    # optimizer-state leaves inherit the param specs, then lift to the TPU
+    # topology
+    from sdvar_tpu.models.var import init_var_params
+
+    cpu_mesh = create_mesh(MeshConfig(data=2, model=4))
+    params = shard_tree(init_var_params(var_cfg, jax.random.PRNGKey(0)),
+                        var_param_specs(var_cfg), cpu_mesh)
+    state = init_train_state(params)
+    vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
+
+    def lift(a):
+        spec = (a.sharding.spec if isinstance(a, jax.Array)
+                and hasattr(a.sharding, "spec") else P())
+        return jax.ShapeDtypeStruct(
+            np.shape(a), np.asarray(a).dtype if not isinstance(a, jax.Array)
+            else a.dtype, sharding=NamedSharding(mesh, spec))
+
+    state_abs = jax.tree.map(lift, state)
+    vae_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), a.dtype, sharding=NamedSharding(mesh, P())),
+        vae_params)
+    B = 16
+    toks_abs = jax.ShapeDtypeStruct((B, var_cfg.L), jnp.int32,
+                                    sharding=NamedSharding(mesh, P(DATA)))
+    label_abs = jax.ShapeDtypeStruct((B,), jnp.int32,
+                                     sharding=NamedSharding(mesh, P(DATA)))
+    scal = jax.ShapeDtypeStruct((), jnp.float32,
+                                sharding=NamedSharding(mesh, P()))
+    key_abs = jax.ShapeDtypeStruct(
+        jax.random.PRNGKey(0).shape, jax.random.PRNGKey(0).dtype,
+        sharding=NamedSharding(mesh, P()))
+
+    hlo = train_step.lower(
+        var_cfg, vae_cfg, state_abs, vae_abs, toks_abs, label_abs,
+        scal, scal, key_abs, clip=2.0, label_smooth=0.1,
+        dtype=jnp.bfloat16, pretokenized=True,
+    ).compile().as_text()
+
+    groups = _collective_groups(hlo)
+    assert groups, "train step compiled with no collectives at all?"
+    data_sz = mesh.shape[DATA]
+    bad = []
+    for line, g in groups:
+        hosts = {_host_of(p) for p in g}
+        if len(hosts) == 1:
+            continue  # within-host TP: fine
+        model_coords = {p % CHIPS_PER_HOST for p in g}
+        if not (len(g) == data_sz and len(model_coords) == 1):
+            bad.append((line[:200], g))
+    assert not bad, (
+        f"{len(bad)} cross-host collective(s) are not pure-DP pairings; "
+        f"first: {bad[0]}")
+    # and there must BE cross-host grad reductions (DP is real)
+    assert any(len({_host_of(p) for p in g}) > 1 for _, g in groups)
