@@ -107,3 +107,29 @@ def test_cfg_mix_scalar_and_vector():
     out_v = cfg_mix(logits, t)
     ref_v = (1 + t)[None, :, None] * logits[:2] - t[None, :, None] * logits[2:]
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v), rtol=1e-6)
+
+
+def test_cfg_layout_helpers_roundtrip_all_group_counts(monkeypatch):
+    """cfg_pair/cfg_halves are exact inverses and cfg_mix is layout-
+    invariant: the shard-local interleaved layout (active under a >1-way
+    data mesh) must produce the same mixed logits as the reference's
+    global concat layout."""
+    import sdvar_tpu.ops.sampling as SMP
+
+    rng = np.random.default_rng(7)
+    B = 8
+    cond = jnp.asarray(rng.standard_normal((B, 3, 5)).astype(np.float32))
+    unc = jnp.asarray(rng.standard_normal((B, 3, 5)).astype(np.float32))
+    want = np.asarray(1.5 * cond - 0.5 * unc)
+    for ds in (1, 2, 4, 8, 3):  # 3 does not divide B -> concat fallback
+        monkeypatch.setattr(SMP, "_cfg_groups", lambda ds=ds: ds)
+        y = SMP.cfg_pair(cond, unc)
+        assert y.shape == (2 * B, 3, 5)
+        c2, u2 = SMP.cfg_halves(y)
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(cond))
+        np.testing.assert_array_equal(np.asarray(u2), np.asarray(unc))
+        np.testing.assert_allclose(np.asarray(SMP.cfg_mix(y, 0.5)), want,
+                                   rtol=1e-6)
+        d = SMP.cfg_double(cond)
+        dc, du = SMP.cfg_halves(d)
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(du))
