@@ -227,6 +227,55 @@ def upsample2x_nhwc(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return conv2d_nhwc(p, x.reshape(B, 2 * H, 2 * W, C))
 
 
+def downsample2x_nhwc(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return conv2d_nhwc(p, x, stride=2, padding=((0, 1), (0, 1)))
+
+
+def encoder_forward_nhwc(cfg: VQVAEConfig, p: Params,
+                         x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H/16, W/16, Cvae); same program as
+    ``encoder_forward`` in channels-last layout (see the NHWC block
+    comment above)."""
+    nres = len(cfg.ch_mult)
+    h = conv2d_nhwc(p["conv_in"], x)
+    for i, level in enumerate(p["down"]):
+        for j in range(cfg.num_res_blocks):
+            h = resnet_block_nhwc(level["block"][j], h)
+            if level["attn"]:
+                h = attn_block_nhwc(level["attn"][j], h)
+        if i != nres - 1:
+            h = downsample2x_nhwc(level["downsample"], h)
+    h = resnet_block_nhwc(p["mid"]["block_1"], h)
+    if cfg.using_mid_sa:
+        h = attn_block_nhwc(p["mid"]["attn_1"], h)
+    h = resnet_block_nhwc(p["mid"]["block_2"], h)
+    return conv2d_nhwc(p["conv_out"], swish(group_norm_nhwc(p["norm_out"], h)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "precision"))
+def img_to_f_nhwc(cfg: VQVAEConfig, p: Params, img: jnp.ndarray,
+                  dtype=jnp.bfloat16,
+                  precision: str = "highest") -> jnp.ndarray:
+    """Channels-last tokenizer encoder (NCHW image in, NCHW f32 latent
+    out); the fast-path sibling of ``img_to_f``/``img_to_f_bf16``. Same
+    precision semantics as fhat_to_img_nhwc."""
+    prec = ("bfloat16" if dtype == jnp.bfloat16
+            else {"highest": "float32", "high": "BF16_BF16_F32_X3"}[precision])
+    with jax.default_matmul_precision(prec):
+        x = img.transpose(0, 2, 3, 1).astype(dtype)
+        f = encoder_forward_nhwc(cfg, p["encoder"], x)
+        f = conv2d_nhwc(p["quant_conv"], f)
+        return f.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
+def img_to_idxBl_nhwc(cfg: VQVAEConfig, p: Params, img: jnp.ndarray,
+                      patch_nums=None, dtype=jnp.bfloat16) -> List[jnp.ndarray]:
+    """Fast-path tokenize: NHWC encoder (bf16 by default) + the standard
+    f32/HIGHEST residual quantizer pyramid."""
+    return Q.encode(cfg, p["quant"], img_to_f_nhwc(cfg, p, img, dtype=dtype),
+                    patch_nums=patch_nums)
+
+
 def decoder_forward_nhwc(cfg: VQVAEConfig, p: Params,
                          z: jnp.ndarray) -> jnp.ndarray:
     """(B, h, w, Cvae) -> (B, 16h, 16w, 3); same program as

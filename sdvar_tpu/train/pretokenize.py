@@ -79,7 +79,8 @@ def pretokenize_dataset(
     assert vae_cfg.vocab_size <= 65536, "token ids must fit uint16"
     os.makedirs(out_dir, exist_ok=True)
 
-    tok_fn = VQ.img_to_idxBl_bf16 if tokenize_bf16 else VQ.img_to_idxBl
+    # bf16 path: channels-last encoder (fastest; same bf16 noise class)
+    tok_fn = VQ.img_to_idxBl_nhwc if tokenize_bf16 else VQ.img_to_idxBl
 
     @jax.jit
     def encode(img):

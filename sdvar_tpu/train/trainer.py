@@ -187,7 +187,9 @@ def train_step(
     reference pays this tax every step forever (trainer.py:105-107)."""
     tx = make_optimizer(clip, optimizer)
     mask = decay_mask(state.params)
-    tokenize = VQ.img_to_idxBl_bf16 if tokenize_bf16 else VQ.img_to_idxBl
+    # bf16 tokenize uses the channels-last encoder (same bf16 noise class,
+    # 157 -> 117 ms at B=32 — BENCHMARKS.md round-4 tokenize row)
+    tokenize = VQ.img_to_idxBl_nhwc if tokenize_bf16 else VQ.img_to_idxBl
 
     def forward_on(params, img_mb, label_mb, key):
         if pretokenized:

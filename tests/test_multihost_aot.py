@@ -44,11 +44,10 @@ CHIPS_PER_HOST = 4
 
 
 def _v5e_2host_mesh():
-    from jax.experimental import topologies
+    from tests.aot_common import get_tpu_topology
 
     try:
-        topo = topologies.get_topology_desc(platform="tpu",
-                                            topology_name="v5e:4x4")
+        topo = get_tpu_topology("v5e:4x4")
     except Exception as e:  # no TPU compiler support in this install
         pytest.skip(f"AOT TPU topology unavailable: {e}")
     devs = list(topo.devices)

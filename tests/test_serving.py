@@ -218,11 +218,34 @@ def test_nhwc_pixel_decode_matches_nchw(server_stack):
     # f32 NHWC differs from NCHW only by contraction-order rounding
     assert np.abs(gold - f32).max() < 2e-4
     # bf16 NHWC: same MEAN bound as the NCHW bf16 serving decoder above;
+    # (see also test_nhwc_encoder_matches_nchw for the tokenizer side)
     # the outlier cap is marginally looser (measured 0.151 at the
     # random-weight worst case vs NCHW's 0.15 — same error class,
     # different conv contraction order)
     assert np.abs(gold - bf16).mean() < 0.02
     assert np.abs(gold - bf16).max() < 0.2
+
+
+def test_nhwc_encoder_matches_nchw(server_stack):
+    """Channels-last tokenizer encoder: f32 NHWC tracks the golden encoder
+    to conv-reassociation noise; bf16-NHWC token ids agree with the golden
+    ids at the same rate class the NCHW bf16 encoder is held to
+    (tests/test_trainer.py's tokenize_bf16 agreement)."""
+    from sdvar_tpu.models import vqvae as VQ
+
+    var_cfg, vae_cfg, var_params, vae_params = server_stack
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, 3, 48, 48)).astype(np.float32))
+    gold_f = np.asarray(VQ.img_to_f(vae_cfg, vae_params, img))
+    f32 = np.asarray(VQ.img_to_f_nhwc(vae_cfg, vae_params, img,
+                                      dtype=jnp.float32))
+    np.testing.assert_allclose(gold_f, f32, rtol=2e-3, atol=2e-4)
+    gold_ids = np.concatenate([np.asarray(i) for i in VQ.img_to_idxBl(
+        vae_cfg, vae_params, img)], axis=1)
+    bf16_ids = np.concatenate([np.asarray(i) for i in VQ.img_to_idxBl_nhwc(
+        vae_cfg, vae_params, img)], axis=1)
+    agree = (gold_ids == bf16_ids).mean()
+    assert agree > 0.95, agree  # flips only at bf16-noise codebook ties
 
 
 def test_server_uses_bf16_decode_only_for_bf16_dtype(server_stack,

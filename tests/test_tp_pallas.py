@@ -173,11 +173,10 @@ def test_mesh_decode_pallas_matches_single_device(mesh24):
 # ---------------------------------------------------------------------------
 
 def _v5e_2x4_mesh():
-    from jax.experimental import topologies
+    from tests.aot_common import get_tpu_topology
 
     try:
-        topo = topologies.get_topology_desc(platform="tpu",
-                                            topology_name="v5e:2x4")
+        topo = get_tpu_topology("v5e:2x4")
     except Exception as e:  # no TPU compiler support in this install
         pytest.skip(f"AOT TPU topology unavailable: {e}")
     devs = np.asarray(topo.devices).reshape(2, 4)

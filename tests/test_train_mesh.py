@@ -142,3 +142,43 @@ def test_sampler_resume_mid_epoch():
     it2 = iter(s2)
     assert next(it2) == next(it)
     assert next(it2) == next(it)
+
+
+def test_entrypoint_mesh_token_path_matches_single_device(tmp_path):
+    """The pre-tokenized pipeline through the REAL entry point on the
+    2x4 mesh == single-device, same tokens (round-4 token_root wiring +
+    shard_batch of int32 token batches)."""
+    from sdvar_tpu.models.vqvae import init_vqvae_params
+    from sdvar_tpu.train.pretokenize import (
+        build_token_datasets_for_passes,
+        pretokenize_dataset,
+    )
+
+    var_cfg, vae_cfg = _tiny_cfgs()
+    vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(0))
+    tok_dir = str(tmp_path / "tokens")
+    datasets = build_token_datasets_for_passes(None, 48, passes=1, seed=0,
+                                               synthetic_len=16)
+    pretokenize_dataset(vae_cfg, vae_params, datasets, tok_dir,
+                        batch=4, shard_size=8, log_every=0)
+
+    tc = TrainConfig(depth=4, reso=48, global_batch_size=4, epochs=1,
+                     label_smooth=0.1)
+
+    def run(out, mesh_cfg):
+        return run_training(
+            tc, out_dir=str(tmp_path / out), max_iters=4,
+            dtype=jnp.float32, mesh_cfg=mesh_cfg,
+            var_cfg=var_cfg, vae_cfg=vae_cfg, token_root=tok_dir,
+        )
+
+    state_1d, hist_1d = run("one", None)
+    state_mesh, hist_mesh = run("mesh", MeshConfig(data=2, model=4))
+    assert len(hist_1d) == len(hist_mesh) == 4
+    for m1, m2 in zip(hist_1d, hist_mesh):
+        np.testing.assert_allclose(m1["loss"], m2["loss"],
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_1d.params),
+                    jax.tree.leaves(state_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -211,7 +211,7 @@ def bench_loader(n: int = 512):
 
 
 def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256,
-                   bf16: bool = False):
+                   bf16: bool = False, nhwc: bool = False):
     """Isolate the frozen-VQVAE tokenize (img_to_idxBl + idx_to_var_input)
     that runs inside every train step."""
     import functools
@@ -224,8 +224,12 @@ def bench_tokenize(B: int = 32, iters: int = 5, reso: int = 256,
     tc = TrainConfig(reso=reso)
     vae_cfg = VQVAEConfig(patch_nums=tc.patch_nums)
     vae_params = init_vqvae_params(vae_cfg, jax.random.PRNGKey(1))
-    encode = VQ.img_to_idxBl_bf16 if bf16 else VQ.img_to_idxBl
-    log(f"[tokenize] encoder dtype: {'bf16' if bf16 else 'f32-HIGHEST'}")
+    if nhwc:
+        encode = VQ.img_to_idxBl_nhwc  # channels-last bf16 encoder
+    else:
+        encode = VQ.img_to_idxBl_bf16 if bf16 else VQ.img_to_idxBl
+    log(f"[tokenize] encoder: "
+        f"{'nhwc-bf16' if nhwc else ('bf16' if bf16 else 'f32-HIGHEST')}")
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def tok(cfg, p, img):
@@ -323,7 +327,8 @@ if __name__ == "__main__":
         bench_loader(int(sys.argv[2]) if len(sys.argv) > 2 else 512)
     elif mode == "tokenize":
         bench_tokenize(int(sys.argv[2]) if len(sys.argv) > 2 else 32,
-                       bf16="bf16" in sys.argv[3:])
+                       bf16="bf16" in sys.argv[3:],
+                       nhwc="nhwc" in sys.argv[3:])
     elif mode == "varonly":
         depth = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
