@@ -383,7 +383,31 @@ def _attention(
 
 
 def _ffn(cfg: VARConfig, layer: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    from sdvar_tpu.ops.quantization import linear_blc
+    from sdvar_tpu.ops.quantization import (
+        W8A8Linear,
+        fused_act_quant_enabled,
+        linear_blc,
+        w8a8_prequant_matmul,
+    )
+
+    fc2 = layer["fc2_w"]
+    if (isinstance(fc2, W8A8Linear) and fc2.q.ndim == 2
+            and fused_act_quant_enabled()):
+        from sdvar_tpu.ops.pallas import quantize as plq
+        from sdvar_tpu.ops.partition import pallas_interpret
+
+        h = linear_blc(x, layer["fc1_w"], x.dtype)  # bias folded into kernel
+        if plq.eligible(h, min_rows=plq.MIN_FUSED_ROWS):
+            # fused bias + GELU + per-token int8 in one Pallas pass, exact
+            # s8 dot for fc2 — kills the XLA amax/round passes over the 4C
+            # activation (the decode's last per-scale slack, BENCHMARKS.md)
+            hq, hs = plq.act_quantize(h, layer["fc1_b"], gelu=True,
+                                      interpret=pallas_interpret())
+            return w8a8_prequant_matmul(hq, hs, fc2, x.dtype) \
+                + layer["fc2_b"].astype(x.dtype)
+        h = h + layer["fc1_b"].astype(x.dtype)
+        h = jax.nn.gelu(h, approximate=True)
+        return linear_blc(h, fc2, x.dtype) + layer["fc2_b"].astype(x.dtype)
 
     h = linear_blc(x, layer["fc1_w"], x.dtype) + layer["fc1_b"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=True)  # GELU(tanh), basic_var.py:40

@@ -40,7 +40,11 @@ class W8A8Linear(NamedTuple):
     the d30 decode GEMMs (tools/microbench_int8_matmul.py). int8 values
     are exact in bf16 (8 mantissa bits) so the only numerics delta vs an
     int32-exact dot is f32-accumulation rounding, which is ~1e-7 relative.
-    The naive int8 x int8 -> int32 dot is SLOWER than bf16 (167 TFLOP/s).
+    Round-2 compiler note: the exact int8 x int8 -> int32 dot was then
+    SLOWER than bf16 (167 TFLOP/s); as of round 4 it lowers to the same
+    fast MXU mode as the convert form (242 vs 245 TFLOP/s on fc1) — which
+    is what makes the fused-activation-quant path (set_fused_act_quant /
+    w8a8_prequant_matmul) viable.
     """
 
     q: jnp.ndarray       # int8, (in, out) (or stacked (depth, in, out))
@@ -159,6 +163,54 @@ def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     xs = jnp.maximum(amax / 127.0, 1e-8)
     return jnp.round(x32 / xs).astype(jnp.int8), xs
+
+
+_FUSED_ACT_QUANT = True
+
+
+def set_fused_act_quant(on: bool) -> None:
+    """Route the decode FFN's fc2 through the fused Pallas
+    bias+GELU+per-token-quant kernel (ops/pallas/quantize.py) feeding an
+    exact s8 x s8 -> s32 dot, on scales with >= MIN_FUSED_ROWS token rows
+    (smaller scales lose the saving to per-call overhead — sweep in
+    ops/pallas/quantize.py). Trace-time switch (like set_attention_impl);
+    ON by default on TPU — measured 385.8 -> 378.4 ms on the d30 B=16
+    W8A8+INT8-KV decode (41.5 -> 42.3 img/s, BENCHMARKS.md round 4). OFF
+    falls back to the XLA quantization passes (also used under an active TP
+    mesh, where the hidden dim is sharded so per-token amax is not
+    shard-local)."""
+    global _FUSED_ACT_QUANT
+    _FUSED_ACT_QUANT = bool(on)
+
+
+def fused_act_quant_enabled() -> bool:
+    if not _FUSED_ACT_QUANT:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        from sdvar_tpu.ops.partition import pallas_interpret
+
+        if not pallas_interpret():
+            return False
+    from sdvar_tpu.ops.partition import tp_mesh_active
+
+    return not tp_mesh_active()
+
+
+def w8a8_prequant_matmul(xq: jnp.ndarray, xs: jnp.ndarray, qw: W8A8Linear,
+                         dtype) -> jnp.ndarray:
+    """int8 (B, L, K) rows + (B, L, 1) f32 scales @ int8 (K, N).
+
+    Exact s8 x s8 -> s32 dot: as of this round's compiler it lowers to the
+    same 2x-rate int8 MXU mode as the convert(int8->bf16) form (measured
+    242 vs 245 TFLOP/s on the d30 fc1 shape, tools/microbench_int8_matmul
+    .py), and it lets the producer hand over real int8 rows — the point of
+    the fused quantization kernel. Numerics: exact integer accumulation
+    (strictly tighter than the f32-accum convert form)."""
+    acc = jax.lax.dot_general(
+        xq, qw.q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return (acc * xs * qw.scale[(None,) * (acc.ndim - 1)]).astype(dtype)
 
 
 def w8a8_matmul(x_blc: jnp.ndarray, qw: W8A8Linear, dtype) -> jnp.ndarray:

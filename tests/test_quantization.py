@@ -204,3 +204,94 @@ def test_w8a8_decode_runs(stack):
         kv_mode="int8",
     )
     assert np.isfinite(np.asarray(f_hat)).all()
+
+
+def test_act_quantize_kernel_matches_reference():
+    """Fused bias+GELU+per-token-quant kernel (ops/pallas/quantize.py) vs
+    the XLA semantics it replaces: scales within divide-lowering ULP noise
+    (the VPU divide is reciprocal-based), quantized values within +-1 on a
+    vanishing fraction of elements."""
+    from sdvar_tpu.ops.pallas.quantize import act_quantize, eligible
+    from sdvar_tpu.ops.quantization import quantize_activation
+
+    key = jax.random.PRNGKey(0)
+    for (B, L, K), gelu in [((4, 64, 512), True), ((2, 128, 1280), True),
+                            ((8, 32, 768), False)]:
+        x = (jax.random.normal(key, (B, L, K), jnp.float32) * 3).astype(
+            jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (K,), jnp.float32)
+        assert eligible(x), (B, L, K)
+        assert not eligible(x, min_rows=10**6)
+        q, s = act_quantize(x, b if gelu else None, gelu=gelu, interpret=True)
+        h = x.astype(jnp.float32)
+        if gelu:
+            h = h + b[None, None, :]
+            h = 0.5 * h * (1 + jnp.tanh(0.7978845608028654
+                                        * (h + 0.044715 * h ** 3)))
+        qr, sr = quantize_activation(h)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sr), rtol=3e-7)
+        d = np.abs(np.asarray(q, np.int32) - np.asarray(qr, np.int32))
+        assert d.max() <= 1, d.max()
+        assert (d != 0).mean() < 1e-3, (d != 0).mean()
+
+
+def test_ffn_fused_act_quant_matches_xla_path():
+    """models/var._ffn with the fused Pallas act-quant + exact s8 dot vs
+    the default XLA W8A8 path: same quantized computation up to scale-ULP
+    and accumulation-order noise."""
+    from sdvar_tpu.models import var as V
+    from sdvar_tpu.ops.partition import set_pallas_interpret
+    from sdvar_tpu.ops.quantization import (
+        W8A8Linear, quantize_weight, set_fused_act_quant,
+    )
+    import sdvar_tpu.ops.pallas.quantize as plq
+
+    C, hidden = 256, 1024
+    rng = np.random.default_rng(7)
+    layer = {
+        "fc1_w": W8A8Linear(*quantize_weight(jnp.asarray(
+            rng.standard_normal((C, hidden)).astype(np.float32) * 0.05))),
+        "fc1_b": jnp.asarray(rng.standard_normal(hidden).astype(np.float32)),
+        "fc2_w": W8A8Linear(*quantize_weight(jnp.asarray(
+            rng.standard_normal((hidden, C)).astype(np.float32) * 0.05))),
+        "fc2_b": jnp.asarray(rng.standard_normal(C).astype(np.float32)),
+    }
+    # M = 2*2048 = 4096 rows passes the MIN_FUSED_ROWS profitability gate
+    x = jnp.asarray(rng.standard_normal((2, 2048, C)).astype(np.float32))
+    cfg = VARConfig(depth=2, patch_nums=PNS)
+    ref = np.asarray(V._ffn(cfg, layer, x))
+
+    calls = []
+    orig = plq.act_quantize
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return orig(*a, **kw)
+
+    plq.act_quantize = spy
+    set_pallas_interpret(True)
+    set_fused_act_quant(True)
+    try:
+        fused = np.asarray(V._ffn(cfg, layer, x))
+    finally:
+        plq.act_quantize = orig
+        set_pallas_interpret(False)
+    assert calls == [(2, 2048, hidden)], calls
+    assert np.abs(fused - ref).max() <= 0.02 * np.abs(ref).max() + 1e-6
+    # below the row gate the fused branch must fall back to the XLA path
+    calls2 = []
+    plq.act_quantize = spy if False else orig  # keep orig; count via spy2
+
+    def spy2(*a, **kw):
+        calls2.append(a[0].shape)
+        return orig(*a, **kw)
+
+    plq.act_quantize = spy2
+    set_pallas_interpret(True)
+    try:
+        small = np.asarray(V._ffn(cfg, layer, x[:, :512]))
+    finally:
+        plq.act_quantize = orig
+        set_pallas_interpret(False)
+    assert calls2 == [], calls2
+    assert np.isfinite(small).all()

@@ -2,11 +2,16 @@
 (394 TOPS, 2x bf16 peak)?
 
 Measured findings (v5e-1, d30 decode GEMM shapes, B=32 CFG-doubled):
-  - bf16 einsum:                        ~171 TFLOP/s (87% of bf16 peak)
-  - int8 x int8 -> int32 dot_general:   ~167 TOP/s  (SLOWER than bf16 --
-    the exact-int32 accumulation path does not use the fast int8 MXU mode)
-  - convert(int8->bf16) both operands, f32 accumulation: ~292 TFLOP/s
-    (the int8 MXU path; int8 is exact in bf16, only f32-accum rounding)
+  - round 2: bf16 einsum ~171 TFLOP/s (87% of bf16 peak); int8 x int8 ->
+    int32 dot_general ~167 (then SLOWER than bf16); convert(int8->bf16)
+    both operands + f32 accum ~292 (the int8 MXU path).
+  - round 4 (compiler updated): the exact s8 x s8 -> s32 dot now lowers to
+    the SAME fast MXU mode — int8_int32 257 vs w8a8 245 TFLOP/s on fc1,
+    and w8a8_s8 == w8a8 within noise on every shape. The residual gap
+    between int8_int32 (no quantization in the loop) and w8a8/w8a8_s8 is
+    pure dynamic-activation-quant overhead: ~0.32 ms per fc2 GEMM at
+    scale 9 — the motivation for the fused Pallas act-quant kernel
+    (ops/pallas/quantize.py, measured +1.9% decode img/s).
   - W8A8 end-to-end (per-token act quant + fast dot + rescale): 1.2-1.4x
     per-GEMM vs bf16 (quantization costs VPU+HBM, fused by XLA).
 
@@ -118,6 +123,17 @@ def loop(x, wq, ws, w_bf, mode):
                 xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                 (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             y = acc * xs * ws[None, None, :]
+        elif mode == "w8a8_s8":
+            # same dynamic per-token quant, but the EXACT s8 x s8 -> s32 dot
+            # (isolates the dot formulation from the quantization overhead)
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            xs = jnp.maximum(amax / 127.0, 1e-8)
+            xq = jnp.round(x.astype(jnp.float32) / xs).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            y = acc * xs * ws[None, None, :]
         elif mode == "pl_s8":
             y = _pallas_w8a8(x, wq, ws, s8=True)
         elif mode == "pl_bf16":
@@ -145,7 +161,7 @@ def main():
         w_bf = (wq.astype(jnp.float32) * ws[None, :]).astype(jnp.bfloat16)
         fl = 2 * B * L * K * N * ITERS
         row = f"{tag:8s} L={L:4d} K={K:5d} N={N:5d}:"
-        for mode in ("bf16", "int8_int32", "w8a8", "pl_s8", "pl_bf16"):
+        for mode in ("bf16", "int8_int32", "w8a8", "w8a8_s8"):
             float(loop(x, wq, ws, w_bf, mode))  # warmup (+ forces fetch)
             best = 1e9
             for _ in range(3):
