@@ -155,8 +155,19 @@ def decoder_forward(cfg: VQVAEConfig, p: Params, z: jnp.ndarray) -> jnp.ndarray:
 # contraction layout), bounded by tests/test_serving.py against the NCHW
 # golden path.
 
+_NHWC_W8A8 = False  # trace-time switch, set only by fhat_to_img_nhwc_w8a8
+
+
 def conv2d_nhwc(p: Params, x: jnp.ndarray, stride: int = 1,
                 padding=((1, 1), (1, 1))) -> jnp.ndarray:
+    if _NHWC_W8A8 and stride == 1 and p["w"].shape[2] == 3 \
+            and padding == ((1, 1), (1, 1)):
+        from sdvar_tpu.ops.pallas import conv_s8 as CS8
+        from sdvar_tpu.ops.partition import pallas_interpret, tp_mesh_active
+
+        if CS8.eligible(x.shape) and not tp_mesh_active() and (
+                jax.default_backend() in ("tpu", "axon") or pallas_interpret()):
+            return CS8.conv2d_nhwc_w8a8(p, x, interpret=pallas_interpret())
     w = jnp.transpose(p["w"], (2, 3, 1, 0)).astype(x.dtype)  # OIHW -> HWIO
     # precision comes from the ambient jax.default_matmul_precision scope
     # set by fhat_to_img_nhwc (bf16: native; f32: highest or bfloat16_3x)
@@ -169,33 +180,33 @@ def conv2d_nhwc(p: Params, x: jnp.ndarray, stride: int = 1,
 
 def group_norm_nhwc(p: Params, x: jnp.ndarray, groups: int = 32,
                     eps: float = 1e-6) -> jnp.ndarray:
-    """Channels-last GroupNorm with MXU segment-sum statistics.
+    """Channels-last GroupNorm with token-axis VPU statistics.
 
     160 ch / 32 groups = 5 lanes per group: a reshape-to-groups reduction is
-    pathological in NHWC (the lane dimension collapses to 5). Instead the
-    per-group sums of x and x^2 are one (B, HW, C) x (C, G) matmul against a
-    0/1 group-membership matrix, and the normalization is applied with the
-    per-CHANNEL gathered stats (the same segment-matmul trick as the
-    transformer's QK L2 norm, BENCHMARKS.md)."""
+    pathological in NHWC (the lane dimension collapses to 5). Round 4 first
+    shipped an MXU segment-sum matmul against a 0/1 group-membership matrix;
+    this simpler form reduces over the TOKEN axis instead (lane-contiguous
+    in NHWC) to per-channel sums (B, C), then folds to per-group (B, G) in a
+    trivially small op. Measured identical to the matmul form end-to-end
+    (98.2 ms decoder both ways, B=16) — GN stats are a negligible share of
+    the decoder (ablation puts ~80% of device time in the 3x3 convs,
+    BENCHMARKS.md round-4 pixel profile) — kept for simplicity. Stats stay
+    f32 regardless of the ambient matmul precision scope (the bf16 path
+    sets default_matmul_precision=bfloat16 for the convs)."""
     B, H, W, C = x.shape
-    seg = jnp.equal(
-        jnp.arange(C)[:, None] // (C // groups),
-        jnp.arange(groups)[None, :],
-    ).astype(jnp.float32)                       # (C, G) group membership
     xf = x.reshape(B, H * W, C).astype(jnp.float32)
-    # stats stay f32 regardless of the ambient precision scope (the bf16
-    # path sets default_matmul_precision=bfloat16 for the convs)
-    s1 = jnp.einsum("bnc,cg->bg", xf, seg, precision=HI)       # group sums
-    s2 = jnp.einsum("bnc,cg->bg", xf * xf, seg, precision=HI)  # sums of sq
-    cnt = H * W * (C // groups)
+    s1c = jnp.sum(xf, axis=1)               # (B, C) per-channel sums
+    s2c = jnp.sum(xf * xf, axis=1)          # (B, C) sums of squares
+    cpg = C // groups
+    s1 = s1c.reshape(B, groups, cpg).sum(-1)    # (B, G)
+    s2 = s2c.reshape(B, groups, cpg).sum(-1)
+    cnt = H * W * cpg
     mu_g = s1 / cnt                              # (B, G)
     var_g = s2 / cnt - mu_g * mu_g
-    # broadcast group stats back to channels: (B, G) @ (G, C)
-    segT = seg.T
-    mu_c = jnp.einsum("bg,gc->bc", mu_g, segT,
-                      precision=HI)[:, None, None, :]   # (B, 1, 1, C)
-    rstd_c = jnp.einsum("bg,gc->bc", jax.lax.rsqrt(var_g + eps), segT,
-                        precision=HI)[:, None, None, :]
+    # broadcast group stats back to channels: (B, G) -> (B, 1, 1, C)
+    mu_c = jnp.repeat(mu_g, cpg, axis=1)[:, None, None, :]
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), cpg,
+                        axis=1)[:, None, None, :]
     xn = ((x.reshape(B, H, W, C).astype(jnp.float32) - mu_c)
           * rstd_c).astype(x.dtype)
     return xn * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
@@ -317,6 +328,29 @@ def fhat_to_img_nhwc(cfg: VQVAEConfig, p: Params, f_hat: jnp.ndarray,
         img = decoder_forward_nhwc(cfg, p["decoder"], z)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         return img.transpose(0, 3, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fhat_to_img_nhwc_w8a8(cfg: VQVAEConfig, p: Params,
+                          f_hat: jnp.ndarray) -> jnp.ndarray:
+    """EXPERIMENTAL W8A8 pixel decode: the NHWC decoder with its big 3x3
+    convs on the int8 MXU path (ops/pallas/conv_s8.py implicit-GEMM
+    kernel; per-Cout weight + per-tensor dynamic activation scales).
+    Measured 97.9 -> 90.2 ms per B=16 batch but mean |pixel delta| vs the
+    f32 golden decoder grows 0.0063 -> 0.035 at the random-weight worst
+    case — NOT the serving default (fhat_to_img_nhwc is); see the kernel
+    module docstring for the full investigation."""
+    global _NHWC_W8A8
+    _NHWC_W8A8 = True
+    try:
+        with jax.default_matmul_precision("bfloat16"):
+            z = f_hat.transpose(0, 2, 3, 1).astype(jnp.bfloat16)
+            z = conv2d_nhwc(p["post_quant_conv"], z)
+            img = decoder_forward_nhwc(cfg, p["decoder"], z)
+            img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+            return img.transpose(0, 3, 1, 2)
+    finally:
+        _NHWC_W8A8 = False
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Implicit-GEMM INT8 3x3 conv kernel (ops/pallas/conv_s8.py, experimental).
+
+The kernel's integer math must be exact: vs a dequantized f32-HIGHEST XLA
+conv the only delta is the final output cast. Also covers the H-edge halo
+masking, the W-edge byte-shift masking, and the W8A8 NHWC decoder entry
+(quality-traded, opt-in — see the kernel module docstring)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdvar_tpu.ops.pallas.conv_s8 import (
+    conv2d_nhwc_w8a8,
+    conv3x3_s8,
+    eligible,
+)
+
+
+def _ref_conv(x8, w8, scale, bias):
+    y = jax.lax.conv_general_dilated(
+        x8.astype(jnp.float32), w8.astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return y * scale[None, None, None, :] + bias
+
+
+@pytest.mark.parametrize("B,H,W,C,O", [
+    (2, 16, 32, 8, 12),     # smallest eligible W, odd O
+    (1, 8, 64, 4, 4),       # single row-block (both H edges in one program)
+    (2, 24, 32, 12, 8),     # 3 row-blocks, interior halos
+])
+def test_s8_kernel_exact_vs_integer_reference(B, H, W, C, O):
+    rng = np.random.default_rng(B * H + W)
+    x8 = jnp.asarray(rng.integers(-127, 128, (B, H, W, C), np.int8))
+    w8 = jnp.asarray(rng.integers(-127, 128, (3, 3, C, O), np.int8))
+    scale = jnp.asarray(rng.uniform(5e-4, 2e-3, O).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(O).astype(np.float32))
+    assert eligible(x8.shape)
+    out = conv3x3_s8(x8, w8, scale, bias, interpret=True,
+                     out_dtype=jnp.float32)
+    ref = _ref_conv(x8, w8, scale, bias)
+    # integer-exact accumulation; only f32 scale/bias rounding differs
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_s8_kernel_edges_are_zero_padded():
+    """Border behavior == 'same' zero padding: compare against a manually
+    zero-padded VALID conv."""
+    rng = np.random.default_rng(7)
+    B, H, W, C, O = 1, 16, 32, 4, 4
+    x8 = jnp.asarray(rng.integers(-127, 128, (B, H, W, C), np.int8))
+    w8 = jnp.asarray(rng.integers(-127, 128, (3, 3, C, O), np.int8))
+    scale = jnp.ones((O,), jnp.float32)
+    bias = jnp.zeros((O,), jnp.float32)
+    out = conv3x3_s8(x8, w8, scale, bias, interpret=True,
+                     out_dtype=jnp.float32)
+    xp = jnp.pad(x8.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = jax.lax.conv_general_dilated(
+        xp, w8.astype(jnp.float32), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_w8a8_wrapper_quantization_error_bounded():
+    """conv2d_nhwc_w8a8 (dynamic per-tensor act + per-Cout weight quant) vs
+    the float conv: error bounded by the quantization grid."""
+    rng = np.random.default_rng(3)
+    B, H, W, C, O = 1, 16, 32, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.standard_normal((O, C, 3, 3)).astype(
+        np.float32) * 0.2),
+         "b": jnp.asarray(rng.standard_normal(O).astype(np.float32) * 0.1)}
+    out = np.asarray(conv2d_nhwc_w8a8(p, x, interpret=True))
+    wh = jnp.transpose(p["w"], (2, 3, 1, 0))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, wh, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + p["b"])
+    # 9*C products each with ~(grid/2) input + weight rounding noise
+    xstep = float(np.abs(np.asarray(x)).max()) / 127.0
+    wstep = float(np.abs(np.asarray(p["w"])).max()) / 127.0
+    bound = 9 * C * (xstep * 0.2 + wstep * np.abs(np.asarray(x)).max()) * 0.5
+    assert np.abs(out - ref).max() <= bound, (np.abs(out - ref).max(), bound)
+    # and it should still be a usable conv: high correlation
+    cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_w8a8_decoder_entry_runs_and_tracks_golden():
+    """fhat_to_img_nhwc_w8a8 on a tiny config (interpret mode): finite,
+    in range, and within a loose bound of the f32 golden decoder."""
+    from sdvar_tpu.config import VQVAEConfig
+    from sdvar_tpu.models import vqvae as VQ
+    from sdvar_tpu.ops.partition import set_pallas_interpret
+
+    cfg = VQVAEConfig(ch=32, ch_mult=(1, 2), z_channels=8,
+                      num_res_blocks=1, patch_nums=(1, 2, 4),
+                      quant_conv_ks=3, using_sa=False)
+    params = VQ.init_vqvae_params(cfg, jax.random.PRNGKey(0))
+    # latent 32x32 -> decoder level W=64 >= 32: top level uses the kernel
+    f_hat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32, 32)) * 0.5
+    gold = np.asarray(VQ.fhat_to_img(cfg, params, f_hat))
+    set_pallas_interpret(True)
+    try:
+        out = np.asarray(VQ.fhat_to_img_nhwc_w8a8(cfg, params, f_hat))
+    finally:
+        set_pallas_interpret(False)
+    assert np.isfinite(out).all()
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    assert np.abs(out - gold).mean() < 0.1, np.abs(out - gold).mean()

@@ -50,6 +50,10 @@ def main():
                                                    precision="high"),
         "nhwc-bf16": lambda: VQ.fhat_to_img_nhwc(vae_cfg, params, f_hat,
                                                  dtype=jnp.bfloat16),
+        # experimental int8 conv kernel path — quality-traded, opt-in
+        # (ops/pallas/conv_s8.py docstring has the verdict)
+        "nhwc-w8a8": lambda: VQ.fhat_to_img_nhwc_w8a8(vae_cfg, params,
+                                                      f_hat),
     }
     gold = None
     for name, fn in variants.items():
