@@ -1,6 +1,13 @@
 """Capture a jax.profiler trace of the fused d30 decode and print an op-level
 time breakdown (parses the Chrome-trace json the TPU profiler emits).
 
+CAVEAT (learned round 4): trace event NAMES are fusion names, and a fusion
+is named after ONE of its ops — a `convert_reduce_fusion` can be 96% conv.
+Never attribute cost from the name alone; confirm with an ablation of the
+suspected op inside the real program (and run each ablation variant in a
+FRESH process: re-jitting after monkeypatching in-process can serve a stale
+executable). See BENCHMARKS.md "decoder attribution" for the worked example.
+
 Usage: python tools/profile_decode.py [depth] [batch]
 """
 from __future__ import annotations
