@@ -662,10 +662,13 @@ class SpeculativeEngine:
             self.draft_cfg, self.draft_params, label_B, self.dtype,
             kv_mode=self.kv_mode, cache=self._new_cache(self.draft_cfg, 2 * B),
         )
-        d_states, _, hub = self._draft_scales(
+        # fused γ-window draft (one dispatch for the whole prefix; same
+        # numerics as the per-scale _draft_scales — round-4 Weak #8)
+        d_final, _, d_ckpts, hub = self._draft_window_fused(
             d_state, d_sos, d_lvl, 0, entry_num, key, 0, samp, stats
         )
-        d_state = d_states[-1]
+        d_state = DecodeState(f_hat=d_ckpts[-1][0], next_map=d_ckpts[-1][1],
+                              cache=d_final.cache)
         if entry_num == S:
             return d_state.f_hat, stats
 

@@ -160,7 +160,7 @@ _NHWC_W8A8 = False  # trace-time switch, set only by fhat_to_img_nhwc_w8a8
 
 def conv2d_nhwc(p: Params, x: jnp.ndarray, stride: int = 1,
                 padding=((1, 1), (1, 1))) -> jnp.ndarray:
-    if _NHWC_W8A8 and stride == 1 and p["w"].shape[2] == 3 \
+    if _NHWC_W8A8 and stride == 1 and p["w"].shape[2:] == (3, 3) \
             and padding == ((1, 1), (1, 1)):
         from sdvar_tpu.ops.pallas import conv_s8 as CS8
         from sdvar_tpu.ops.partition import pallas_interpret, tp_mesh_active
@@ -341,7 +341,8 @@ def fhat_to_img_nhwc_w8a8(cfg: VQVAEConfig, p: Params,
     case — NOT the serving default (fhat_to_img_nhwc is); see the kernel
     module docstring for the full investigation."""
     global _NHWC_W8A8
-    _NHWC_W8A8 = True
+    prev = _NHWC_W8A8  # restore (not force-False) so interleaved traces
+    _NHWC_W8A8 = True  # of this function stay reentrant
     try:
         with jax.default_matmul_precision("bfloat16"):
             z = f_hat.transpose(0, 2, 3, 1).astype(jnp.bfloat16)
@@ -350,7 +351,7 @@ def fhat_to_img_nhwc_w8a8(cfg: VQVAEConfig, p: Params,
             img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
             return img.transpose(0, 3, 1, 2)
     finally:
-        _NHWC_W8A8 = False
+        _NHWC_W8A8 = prev
 
 
 # ---------------------------------------------------------------------------

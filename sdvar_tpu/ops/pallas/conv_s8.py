@@ -115,6 +115,7 @@ def conv3x3_s8(x8, w8, scale, bias, bh=8, interpret=False,
     """
     B, H, W, C = x8.shape
     O = w8.shape[-1]
+    assert w8.shape[:2] == (3, 3), w8.shape  # kernel is specialised to 3x3
     assert eligible(x8.shape), x8.shape
     assert H % bh == 0, (H, bh)
     w3 = w8.transpose(1, 0, 2, 3).reshape(3, 3 * C, O)  # dx-major, dy in K

@@ -12,6 +12,12 @@ import sys
 # backend: unit tests must be hermetic and run the virtual 8-device mesh.
 # Also drop the axon TPU-tunnel site dir (it hooks XLA compilation and slows
 # CPU compiles ~6x) — tests never talk to the TPU.
+# Stash the ambient TPU env first so opt-in hardware tests (SDVAR_TPU_TESTS=1,
+# e.g. test_conv_s8.test_s8_kernel_exact_on_hardware) can hand it to a
+# subprocess that really talks to the chip.
+for _k in ("JAX_PLATFORMS", "PYTHONPATH", "PALLAS_AXON_REMOTE_COMPILE"):
+    if _k in os.environ and ("SDVAR_HW_" + _k) not in os.environ:
+        os.environ["SDVAR_HW_" + _k] = os.environ[_k]
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 sys.path[:] = [p for p in sys.path if "axon_site" not in p]

@@ -5,6 +5,8 @@ conv the only delta is the final output cast. Also covers the H-edge halo
 masking, the W-edge byte-shift masking, and the W8A8 NHWC decoder entry
 (quality-traded, opt-in — see the kernel module docstring)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -89,6 +91,30 @@ def test_w8a8_wrapper_quantization_error_bounded():
     # and it should still be a usable conv: high correlation
     cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert cc > 0.999, cc
+
+
+@pytest.mark.skipif(os.environ.get("SDVAR_TPU_TESTS") != "1",
+                    reason="hardware test: set SDVAR_TPU_TESTS=1 on a TPU box")
+def test_s8_kernel_exact_on_hardware():
+    """Mosaic-compiled kernel on the REAL chip vs the XLA integer reference
+    (round-4 advisor: interpret mode does not model pltpu.bitcast byte
+    packing, which the horizontal taps depend on). Runs in a subprocess with
+    the stashed ambient TPU env (this suite itself is pinned to CPU)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "PYTHONPATH", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(k, None)
+        if ("SDVAR_HW_" + k) in env:
+            env[k] = env["SDVAR_HW_" + k]
+    env.pop("XLA_FLAGS", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "check_conv_s8_hw.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "EXACT" in r.stdout, r.stdout
 
 
 def test_w8a8_decoder_entry_runs_and_tracks_golden():

@@ -161,7 +161,8 @@ def main():
         w_bf = (wq.astype(jnp.float32) * ws[None, :]).astype(jnp.bfloat16)
         fl = 2 * B * L * K * N * ITERS
         row = f"{tag:8s} L={L:4d} K={K:5d} N={N:5d}:"
-        for mode in ("bf16", "int8_int32", "w8a8", "w8a8_s8"):
+        for mode in ("bf16", "int8_int32", "w8a8", "w8a8_s8",
+                     "pl_s8", "pl_bf16"):
             float(loop(x, wq, ws, w_bf, mode))  # warmup (+ forces fetch)
             best = 1e9
             for _ in range(3):
