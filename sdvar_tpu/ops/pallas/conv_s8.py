@@ -154,6 +154,48 @@ def conv3x3_s8(x8, w8, scale, bias, bh=8, interpret=False,
       scale.reshape(1, O).astype(jnp.float32))
 
 
+def quantize_site(w, b, act_amax, headroom: float = 1.0,
+                  alpha: float = 0.65):
+    """Pre-quantize one conv site with STATIC per-input-channel activation
+    scales (from calibration) folded into the weights:
+
+      y_o = sum_c (x_c / s_c) * (w_oc * s_c)
+
+    w: (O, C, 3, 3) OIHW f32;  act_amax: (C,) calibrated |x| maxima.
+    ``alpha`` interpolates the channel scale between per-tensor (0) and
+    fully per-channel (1), SmoothQuant-style: folding s_c into the weights
+    skews the per-Cout weight grid, so the best operating point balances
+    activation-grid vs folded-weight-grid error (measured optimum ~0.65-
+    0.75, ~2x lower error than per-tensor on skewed channels — tests).
+    Since s_c >= amax_c for alpha <= 1, activations never clip.
+    Host-side numpy — runs once, off the serving hot path."""
+    import numpy as np
+
+    amax = np.maximum(np.asarray(act_amax, np.float32), 1e-12)
+    eff = amax ** alpha * float(amax.max()) ** (1.0 - alpha)
+    act_s = np.maximum(eff / 127.0 * headroom, 1e-12)
+    wh = np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))  # HWIO
+    wfold = wh * act_s[None, None, :, None]
+    ws = np.maximum(np.max(np.abs(wfold), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = np.clip(np.round(wfold / ws[None, None, None, :]), -127, 127)
+    return {
+        "wq": jnp.asarray(wq.astype(np.int8)),
+        "scale": jnp.asarray(ws),                      # act scale is folded
+        "bias": jnp.asarray(np.asarray(b, np.float32)),
+        "act_inv": jnp.asarray(1.0 / act_s),           # x -> int8 multiplier
+    }
+
+
+def conv3x3_s8_static(site, x, interpret=False):
+    """Apply a calibrated site: per-channel static activation quant (clip to
+    the int8 grid — outliers beyond the calibrated amax saturate) + the
+    exact s8 kernel with pre-quantized folded weights."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * site["act_inv"]),
+                  -127, 127).astype(jnp.int8)
+    return conv3x3_s8(xq, site["wq"], site["scale"], site["bias"],
+                      interpret=interpret, out_dtype=x.dtype)
+
+
 def conv2d_nhwc_w8a8(p, x, interpret=False):
     """Drop-in W8A8 wrapper for an eligible ``conv2d_nhwc`` call: per-Cout
     weight scales, per-tensor dynamic activation scale, exact s8 dot.

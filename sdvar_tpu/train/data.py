@@ -44,6 +44,93 @@ class SyntheticImageNet:
         return img, label
 
 
+class StructuredSynthImages:
+    """Class-conditional procedural images with LEARNABLE structure (unlike
+    ``SyntheticImageNet``'s pure noise): each class fixes a pattern family,
+    a frequency/orientation band and a palette; each sample draws phase,
+    position and amplitude jitter plus pixel noise.
+
+    Purpose: on-chip training drills in the zero-egress environment (no
+    ImageNet) — draft/target speculative pairs and convergence runs need a
+    dataset where models land at PARTIAL per-scale accuracy: coarse scales
+    become predictable (class → palette/layout) while fine scales stay
+    sample-stochastic, the organic regime the reference's acceptance rule
+    targets (reference: models/var.py:1199-1222)."""
+
+    def __init__(self, reso: int = 288, num_classes: int = 16,
+                 length: int = 2048, seed: int = 0, noise: float = 0.06):
+        self.reso, self.num_classes = reso, num_classes
+        self.length, self.seed, self.noise = length, seed, noise
+        r = reso
+        self._yy, self._xx = np.mgrid[0:r, 0:r].astype(np.float32) / r
+
+    def __len__(self):
+        return self.length
+
+    def _pattern(self, c: int, rng) -> np.ndarray:
+        """(reso, reso) float32 in [-1, 1]; family from c%4, band from c//4."""
+        x, y = self._xx, self._yy
+        fam, lvl = c % 4, c // 4
+        tau = 2.0 * np.pi
+        if fam == 0:      # oriented stripes
+            f = 3.0 + 2.0 * lvl
+            th = np.deg2rad(45.0 * lvl + rng.uniform(-12, 12))
+            v = np.sin(tau * f * (x * np.cos(th) + y * np.sin(th))
+                       + rng.uniform(0, tau))
+        elif fam == 1:    # checker product
+            f = 2.0 + lvl
+            v = (np.sin(tau * f * x + rng.uniform(0, tau))
+                 * np.sin(tau * f * y + rng.uniform(0, tau)))
+        elif fam == 2:    # radial rings around a jittered center
+            f = 4.0 + 2.0 * lvl
+            cx, cy = 0.5 + rng.uniform(-0.15, 0.15, 2)
+            v = np.sin(tau * f * np.hypot(x - cx, y - cy)
+                       + rng.uniform(0, tau))
+        else:             # soft blobs at random positions
+            v = np.zeros_like(x)
+            for _ in range(3 + lvl):
+                cx, cy = rng.uniform(0.1, 0.9, 2)
+                v += np.exp(-(np.hypot(x - cx, y - cy) ** 2) / (2 * 0.08**2))
+            v = v / max(float(v.max()), 1e-6) * 2.0 - 1.0
+        return v.astype(np.float32)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
+        c = i % self.num_classes
+        rng = np.random.default_rng(self.seed * 9_999_991 + i)
+        v = self._pattern(c, rng)
+        # distinct per-class palette (hue wheel) with per-sample amplitude
+        hue = 2.0 * np.pi * c / self.num_classes
+        base = np.array([np.cos(hue), np.cos(hue - 2.0943951),
+                         np.cos(hue + 2.0943951)], np.float32) * 0.5
+        amp = rng.uniform(0.75, 1.0)
+        img = base[:, None, None] * (0.35 + 0.65 * v[None]) * amp * 2.0
+        img = img + rng.normal(0, self.noise, img.shape).astype(np.float32)
+        return np.clip(img, -1.0, 1.0).astype(np.float32), c
+
+
+def write_structured_folder(root: str, num_classes: int = 16,
+                            per_class: int = 128, reso: int = 288,
+                            seed: int = 0) -> int:
+    """Materialize ``StructuredSynthImages`` as a class-dir PNG tree so the
+    REAL folder pipeline (FolderImageNet crops, pretokenize passes, eval
+    center-crop) runs end-to-end on it. Idempotent. Returns image count."""
+    from PIL import Image
+
+    ds = StructuredSynthImages(reso=reso, num_classes=num_classes,
+                               length=num_classes * per_class, seed=seed)
+    n = 0
+    for i in range(len(ds)):
+        img, c = ds[i]
+        d = os.path.join(root, f"cls_{c:03d}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"img_{i:05d}.png")
+        if not os.path.exists(p):
+            u8 = ((img.transpose(1, 2, 0) + 1.0) * 127.5).clip(0, 255)
+            Image.fromarray(u8.astype(np.uint8)).save(p)
+        n += 1
+    return n
+
+
 class FolderImageNet:
     """DatasetFolder-equivalent over ``root/{class_dir}/*.{jpg,png,jpeg}``
     (reference: utils/data.py:12-38). train: mid-resize 1.125x + random crop

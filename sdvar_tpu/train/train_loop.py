@@ -87,6 +87,7 @@ def run_training(
     var_cfg: Optional[VARConfig] = None,
     vae_cfg: Optional[VQVAEConfig] = None,
     token_root: Optional[str] = None,
+    val_root: Optional[str] = None,
 ):
     """Epoch loop over a data×model device mesh.
 
@@ -128,8 +129,11 @@ def run_training(
                   f"{train_set.passes} passes (L={train_set.L})")
     else:
         train_set = build_dataset(data_root, reso=tc.reso, train=True)
-    val_set = build_dataset(data_root, reso=tc.reso, train=False,
-                            synthetic_len=64)
+    # held-out eval split: its own folder when given (train/pair drills),
+    # else center-crops of the train root (reference uses the val split,
+    # train.py:120; eval cadence train.py:208-231)
+    val_set = build_dataset(val_root if val_root is not None else data_root,
+                            reso=tc.reso, train=False, synthetic_len=64)
 
     # native C++ decode/augment pipeline when training off a real folder
     # (csrc/dataloader.cpp); synthetic data stays on the Python path
@@ -354,6 +358,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--val-data", type=str, default=None,
+                    help="held-out eval folder (defaults to --data)")
     ap.add_argument("--tokens", type=str, default=None,
                     help="pre-tokenized dataset dir (tools/pretokenize.py); "
                          "skips the per-step VQVAE encode")
@@ -389,7 +395,8 @@ def main():
                      dbg_nan=args.dbg_nan)
     run_training(tc, data_root=args.data, out_dir=args.out,
                  max_iters=args.max_iters, batch_override=args.bs,
-                 mesh_cfg=mesh_cfg, token_root=args.tokens)
+                 mesh_cfg=mesh_cfg, token_root=args.tokens,
+                 val_root=args.val_data)
 
 
 if __name__ == "__main__":
