@@ -373,7 +373,7 @@ def fhat_to_img_nhwc_w8a8(cfg: VQVAEConfig, p: Params,
 
 
 def calibrate_decoder_w8a8(cfg: VQVAEConfig, p: Params, f_hats,
-                           headroom: float = 1.0):
+                           headroom: float = 1.0, alpha: float = 0.65):
     """Static per-channel W8A8 calibration of the NHWC pixel decoder
     (round-4 VERDICT Weak #1 fix): run the bf16 decoder over calibration
     ``f_hats`` batches, record each eligible 3x3 conv's per-INPUT-channel
@@ -415,7 +415,7 @@ def calibrate_decoder_w8a8(cfg: VQVAEConfig, p: Params, f_hats,
         sink.append([np.asarray(a) for a in run(jnp.asarray(fh))])
     amax = [np.max(np.stack(col), axis=0) for col in zip(*sink)]
     assert len(amax) == len(weights), (len(amax), len(weights))
-    return tuple(quantize_site(w, b, a, headroom=headroom)
+    return tuple(quantize_site(w, b, a, headroom=headroom, alpha=alpha)
                  for (w, b), a in zip(weights, amax))
 
 

@@ -118,6 +118,12 @@ def act_quantize(
 # with M=2B*pn^2 >= 4096 (pn 13, 16) = 378.4 ms vs 385.8 XLA everywhere;
 # adding pn=10 (M=3200) regressed to 381.9, pn=8 (M=2048) to 382.1.
 MIN_FUSED_ROWS = 4096
+# compiler-dependent threshold: re-measured each round via
+# tools/retest_negatives.py (env override, read once at import)
+import os as _os  # noqa: E402
+
+MIN_FUSED_ROWS = int(_os.environ.get("SDVAR_MIN_FUSED_ROWS",
+                                     MIN_FUSED_ROWS))
 
 
 def eligible(x: jnp.ndarray, min_rows: int = 0) -> bool:

@@ -55,6 +55,11 @@ def main():
         "nhwc-w8a8": lambda: VQ.fhat_to_img_nhwc_w8a8(vae_cfg, params,
                                                       f_hat),
     }
+    # calibrated static per-channel W8A8 (round-5; quality verdict on
+    # trained weights lives in tools/calib_pixels.py — here: wall time)
+    sites = VQ.calibrate_decoder_w8a8(vae_cfg, params, [f_hat])
+    variants["nhwc-w8a8-calib"] = lambda: VQ.fhat_to_img_nhwc_w8a8_static(
+        vae_cfg, params, f_hat, sites)
     gold = None
     for name, fn in variants.items():
         t0 = time.time()
