@@ -88,6 +88,7 @@ class GenerationServer:
         draft_params=None,
         spec: Optional[SpeculativeConfig] = None,
         mesh_cfg: Optional[MeshConfig] = None,
+        pixel_sites=None,
     ):
         self.var_cfg, self.vae_cfg = var_cfg, vae_cfg
         self.var_params, self.vae_params = var_params, vae_params
@@ -97,6 +98,9 @@ class GenerationServer:
         self.buckets = sorted(buckets or [1, 2, 4, 8])
         self.dtype = dtype
         self.kv_mode = kv_mode
+        # calibrated-W8A8 pixel decoder sites (calibrate_decoder_w8a8);
+        # None = bf16 NHWC default. bf16 servers only.
+        self.pixel_sites = pixel_sites
 
         # mesh mode: tensor-parallel weights, data-sharded batch
         self.mesh = None
@@ -339,7 +343,13 @@ class GenerationServer:
         # bf16 servers use the channels-last NHWC decoder (tools/
         # bench_pixels.py: the NCHW bf16 path ran at ~12% of peak from
         # layout transposes); f32 servers keep the golden NCHW path.
-        if self.dtype == jnp.bfloat16:
+        if self.pixel_sites is not None and self.dtype == jnp.bfloat16:
+            # calibrated W8A8 decoder (models/vqvae.calibrate_decoder_w8a8):
+            # opt-in, gated by the operator on the measured pixel-delta for
+            # THEIR checkpoint (tools/calib_pixels.py prints the verdict)
+            imgs = VQ.fhat_to_img_nhwc_w8a8_static(
+                self.vae_cfg, self.vae_params, f_hat, self.pixel_sites)
+        elif self.dtype == jnp.bfloat16:
             imgs = VQ.fhat_to_img_nhwc(self.vae_cfg, self.vae_params, f_hat)
         else:
             imgs = VQ.fhat_to_img(self.vae_cfg, self.vae_params, f_hat)

@@ -226,6 +226,40 @@ def test_nhwc_pixel_decode_matches_nchw(server_stack):
     assert np.abs(gold - bf16).max() < 0.2
 
 
+def test_server_calibrated_pixel_sites(server_stack):
+    """A bf16 server with calibrated W8A8 pixel sites (round-5 opt-in,
+    interpret-mode kernel) completes requests and its pixels stay within
+    the quantized-decoder error class of the sites-less bf16 server."""
+    from sdvar_tpu.models import vqvae as VQ
+    from sdvar_tpu.ops.partition import set_pallas_interpret
+
+    var_cfg, vae_cfg, var_params, vae_params = server_stack
+    Cvae, pn = vae_cfg.z_channels, PNS[-1]
+    cal = jax.random.normal(jax.random.PRNGKey(9), (2, Cvae, pn, pn))
+    set_pallas_interpret(True)
+    try:
+        sites = VQ.calibrate_decoder_w8a8(vae_cfg, vae_params, [cal])
+        assert len(sites) > 0
+        srv = _mk(server_stack, dtype=jnp.bfloat16, pixel_sites=sites)
+        srv.start()
+        try:
+            r_q = srv.get(srv.submit(label=3, seed=11), timeout=180)
+        finally:
+            srv.stop()
+        srv2 = _mk(server_stack, dtype=jnp.bfloat16)
+        srv2.start()
+        try:
+            r_b = srv2.get(srv2.submit(label=3, seed=11), timeout=180)
+        finally:
+            srv2.stop()
+    finally:
+        set_pallas_interpret(False)
+    assert r_q.ok and r_b.ok
+    assert np.isfinite(r_q.image).all()
+    # same latent tokens (same seed/label); only the pixel decoder differs
+    assert np.abs(r_q.image - r_b.image).mean() < 0.05
+
+
 def test_nhwc_encoder_matches_nchw(server_stack):
     """Channels-last tokenizer encoder: f32 NHWC tracks the golden encoder
     to conv-reassociation noise; bf16-NHWC token ids agree with the golden
