@@ -253,6 +253,10 @@ def cmd_drill(args) -> None:
                                 stderr=subprocess.STDOUT, text=True)
 
     ctrl, vict = os.path.join(d["drill"], "ctrl"), os.path.join(d["drill"], "vict")
+    import shutil
+
+    for dd in (ctrl, vict):  # idempotent: stale ckpts would skew auto_resume
+        shutil.rmtree(dd, ignore_errors=True)
     p = launch(ctrl, max_iters)
     out_text, _ = p.communicate(timeout=1800)
     assert p.returncode == 0, out_text[-3000:]
@@ -268,7 +272,9 @@ def cmd_drill(args) -> None:
         if not line:
             break
         print("  [victim] " + line.rstrip(), flush=True)
-        if f"[it {ipe + ipe // 2}/" in line:  # mid-epoch 2
+        # mid-epoch 2, rounded to the 10-iter console cadence
+        trig = ipe + ipe // 2 - (ipe + ipe // 2) % 10
+        if f"[it {trig}/" in line:
             os.kill(p.pid, signal.SIGKILL)
             killed = True
             break
