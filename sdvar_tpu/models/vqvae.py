@@ -178,12 +178,16 @@ def conv2d_nhwc(p: Params, x: jnp.ndarray, stride: int = 1,
                 # fall through to the clean bf16 conv
                 _W8A8_CALIB.append((
                     jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)),
-                    p["w"], p["b"],
+                    p["w"], p["b"], x.shape,
                 ))
             elif _W8A8_SITES is not None:
-                # static calibrated per-channel scales, pre-quantized weights
-                return CS8.conv3x3_s8_static(next(_W8A8_SITES), x,
-                                             interpret=pallas_interpret())
+                # static calibrated per-channel scales, pre-quantized
+                # weights; None = site excluded from quantization (e.g.
+                # below the min_w FLOPs cut) -> clean bf16 conv below
+                site = next(_W8A8_SITES)
+                if site is not None:
+                    return CS8.conv3x3_s8_static(site, x,
+                                                 interpret=pallas_interpret())
             else:
                 return CS8.conv2d_nhwc_w8a8(p, x, interpret=pallas_interpret())
     w = jnp.transpose(p["w"], (2, 3, 1, 0)).astype(x.dtype)  # OIHW -> HWIO
@@ -373,7 +377,8 @@ def fhat_to_img_nhwc_w8a8(cfg: VQVAEConfig, p: Params,
 
 
 def calibrate_decoder_w8a8(cfg: VQVAEConfig, p: Params, f_hats,
-                           headroom: float = 1.0, alpha: float = 0.65):
+                           headroom: float = 1.0, alpha: float = 0.65,
+                           min_w: int = 0):
     """Static per-channel W8A8 calibration of the NHWC pixel decoder
     (round-4 VERDICT Weak #1 fix): run the bf16 decoder over calibration
     ``f_hats`` batches, record each eligible 3x3 conv's per-INPUT-channel
@@ -401,10 +406,10 @@ def calibrate_decoder_w8a8(cfg: VQVAEConfig, p: Params, f_hats,
                 z = f_hat.transpose(0, 2, 3, 1).astype(jnp.bfloat16)
                 z = conv2d_nhwc(p["post_quant_conv"], z)
                 decoder_forward_nhwc(cfg, p["decoder"], z)
-            amaxes = [a for a, _, _ in _W8A8_CALIB]
+            amaxes = [a for a, _, _, _ in _W8A8_CALIB]
             if not weights:
-                weights.extend((np.asarray(w), np.asarray(b))
-                               for _, w, b in _W8A8_CALIB)
+                weights.extend((np.asarray(w), np.asarray(b), shp)
+                               for _, w, b, shp in _W8A8_CALIB)
             return amaxes
         finally:
             _NHWC_W8A8, _W8A8_CALIB = prev_flag, prev_sink
@@ -415,8 +420,13 @@ def calibrate_decoder_w8a8(cfg: VQVAEConfig, p: Params, f_hats,
         sink.append([np.asarray(a) for a in run(jnp.asarray(fh))])
     amax = [np.max(np.stack(col), axis=0) for col in zip(*sink)]
     assert len(amax) == len(weights), (len(amax), len(weights))
-    return tuple(quantize_site(w, b, a, headroom=headroom, alpha=alpha)
-                 for (w, b), a in zip(weights, amax))
+    # min_w: quantize only sites at spatial width >= min_w (None = site
+    # stays bf16). Conv FLOPs scale with (W*C)^2 and the top level carries
+    # ~half of them, so a high cut keeps most of the int8 win while
+    # removing most of the 29-site error compounding.
+    return tuple(None if shp[2] < min_w
+                 else quantize_site(w, b, a, headroom=headroom, alpha=alpha)
+                 for (w, b, shp), a in zip(weights, amax))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

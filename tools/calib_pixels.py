@@ -95,10 +95,6 @@ def main():
     ev = jnp.asarray(np.asarray(
         to_fhat(batch(3072 + args.cal_batches * args.batch, args.batch))))
 
-    sites = VQ.calibrate_decoder_w8a8(cfg, params, cal, alpha=args.alpha)
-    print(f"[calib] {len(sites)} eligible conv sites, alpha={args.alpha}",
-          flush=True)
-
     gold = np.asarray(VQ.fhat_to_img(cfg, params, ev))
 
     def run(name, fn):
@@ -109,19 +105,30 @@ def main():
             t0 = time.time()
             float(jnp.sum(fn(ev)))
             t.append(time.time() - t0)
-        print(f"[pixels] {name:18s} mean|d|={err:.5f} "
+        print(f"[pixels] {name:24s} mean|d|={err:.5f} "
               f"wall={min(t)*1e3:.1f} ms (B={args.batch})", flush=True)
         return err, min(t) * 1e3
 
     e_bf, t_bf = run("nhwc_bf16", lambda z: VQ.fhat_to_img_nhwc(cfg, params, z))
     e_dy, t_dy = run("w8a8_dynamic", lambda z: VQ.fhat_to_img_nhwc_w8a8(
         cfg, params, z))
-    e_st, t_st = run("w8a8_calibrated", lambda z: VQ.fhat_to_img_nhwc_w8a8_static(
-        cfg, params, z, sites))
+    best = (1e9, None, None, None)
+    for alpha, min_w in ((args.alpha, 0), (0.75, 0), (0.85, 0),
+                         (0.75, 128), (0.9, 128), (0.75, 256)):
+        sites = VQ.calibrate_decoder_w8a8(cfg, params, cal, alpha=alpha,
+                                          min_w=min_w)
+        nq = sum(s is not None for s in sites)
+        e, t = run(f"calib a={alpha} w>={min_w} ({nq}q)",
+                   lambda z, s=sites: VQ.fhat_to_img_nhwc_w8a8_static(
+                       cfg, params, z, s))
+        if e < best[0]:
+            best = (e, t, alpha, min_w)
+    e_st, t_st, b_a, b_w = best
     verdict = "PASS" if e_st <= 2.0 * e_bf else "NEGATIVE"
-    print(f"[verdict] {verdict}: calibrated {e_st:.5f} vs bf16-class "
-          f"{e_bf:.5f} (2x gate {2*e_bf:.5f}); dynamic was {e_dy:.5f}; "
-          f"wall bf16 {t_bf:.1f} -> calib {t_st:.1f} ms", flush=True)
+    print(f"[verdict] {verdict}: best calibrated (alpha={b_a}, min_w={b_w}) "
+          f"{e_st:.5f} vs bf16-class {e_bf:.5f} (2x gate {2*e_bf:.5f}); "
+          f"dynamic was {e_dy:.5f}; wall bf16 {t_bf:.1f} -> calib "
+          f"{t_st:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
