@@ -113,11 +113,12 @@ def act_quantize(
 
 
 # Row-count gate for the decode FFN: below this the per-call overhead of
-# the kernel exceeds the saved XLA quantization passes. Measured on the d30
-# B=16 W8A8+INT8-KV decode (threshold sweep, same session): fused on scales
-# with M=2B*pn^2 >= 4096 (pn 13, 16) = 378.4 ms vs 385.8 XLA everywhere;
-# adding pn=10 (M=3200) regressed to 381.9, pn=8 (M=2048) to 382.1.
-MIN_FUSED_ROWS = 4096
+# the kernel exceeds the saved XLA quantization passes. Round-4 sweep (d30
+# B=16 W8A8+INT8-KV decode): >=4096 (pn 13, 16) = 378.4 ms best. Round-5
+# re-sweep on the CURRENT compiler (tools/retest_negatives.py): 2048 ->
+# 41.85 img/s, 3200 -> 41.72, 4096 -> 41.56, never -> 41.63 — ordering
+# flipped within ~0.7% tunnel noise; default follows the measured best.
+MIN_FUSED_ROWS = 2048
 # compiler-dependent threshold: re-measured each round via
 # tools/retest_negatives.py (env override, read once at import)
 import os as _os  # noqa: E402

@@ -15,8 +15,11 @@ Results land in BENCHMARKS.md by hand; the default stays on the winner.
 from __future__ import annotations
 
 import argparse
+import os as _os
 import sys
 import time
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def log(*a):
