@@ -31,17 +31,20 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/sdvar_jax_cache")
 
 PEAK_BF16 = 197e12  # v5e chip bf16 peak (BENCHMARKS.md MFU convention)
+ITERS = 8  # in-jit loop count: amortizes the ~20 ms axon dispatch floor
 
 
-def bench(fn, *args, iters=5):
-    fn(*args).block_until_ready()
+def bench_loop(loop_fn, *args, reps=4):
+    """Time ``loop_fn`` (a jitted ITERS-iteration fori_loop whose result
+    depends on every iteration) with a device->host float() sync — under
+    axon, block_until_ready can return before the program finishes."""
+    float(loop_fn(*args))  # compile + warmup
     best = 1e9
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.time()
-        r = fn(*args)
-        float(jnp.sum(r[0]) if isinstance(r, tuple) else jnp.sum(r))
+        float(loop_fn(*args))
         best = min(best, time.time() - t0)
-    return best
+    return best / ITERS
 
 
 def main():
@@ -73,21 +76,22 @@ def main():
     label = jnp.zeros((B,), jnp.int32)
 
     def step(state):
+        # remat=True matches the measured 560 ms/36.7% MFU row
+        # (BENCHMARKS.md pre-tokenized table; d16 B=32 needs it to fit)
         return train_step(cfg, vae_cfg, state, vae_params, gt, label,
                           jnp.asarray(1e-4), jnp.asarray(0.05),
                           jax.random.PRNGKey(1), dtype=jnp.bfloat16,
-                          pretokenized=True)[0]
+                          remat=True, pretokenized=True)
 
-    # NOTE: donation — rebuild state each timing (state is donated); time
-    # via a 2-step scan-free loop instead: run step twice, time the second.
+    # sync on the returned loss metric (a float() pull is the reliable
+    # completion barrier under axon; 560 ms >> the dispatch floor)
     t_step = None
-    s = state
-    s = step(s)
-    jax.block_until_ready(s.params["head"]["w"])
+    s, m = step(state)
+    float(m["loss"])
     for _ in range(args.iters):
         t0 = time.time()
-        s = step(s)
-        jax.block_until_ready(s.params["head"]["w"])
+        s, m = step(s)
+        float(m["loss"])
         t = time.time() - t0
         t_step = t if t_step is None else min(t_step, t)
     gemm_fl = 3 * 2 * M * (12 * w * w * d + w * V + cfg.Cvae * w)
@@ -103,9 +107,23 @@ def main():
               ("fc1", w, 4 * w, d), ("fc2", 4 * w, w, d),
               ("head", w, V, 1)]
 
-    fwdj = jax.jit(lambda x, ww: x @ ww)
-    wgradj = jax.jit(lambda x, g: jnp.einsum("mk,mn->kn", x, g,
-                                             preferred_element_type=jnp.float32))
+    @jax.jit
+    def floop(x, ww):
+        def body(i, x):
+            y = x @ ww
+            return x + (jnp.mean(y) * 1e-9).astype(x.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x))
+
+    @jax.jit
+    def wloop(x, g):
+        def body(i, x):
+            y = jnp.einsum("mk,mn->kn", x, g,
+                           preferred_element_type=jnp.float32)
+            return x + (jnp.mean(y) * 1e-9).astype(x.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, x))
+
     total_gemm_ms = 0.0
     rows = []
     for name, K, N, cnt in shapes:
@@ -114,10 +132,12 @@ def main():
         g = jax.random.normal(key, (M, N), jnp.bfloat16)
         wt = jax.random.normal(key, (N, K), jnp.bfloat16)
         fl = 2 * M * K * N
-        t_f = bench(fwdj, x, wm, iters=args.iters)
-        t_d = bench(fwdj, g, wt, iters=args.iters)
-        t_w = bench(wgradj, x, g, iters=args.iters)
-        ms = (t_f + t_d + t_w) * 1e3 * cnt
+        t_f = bench_loop(floop, x, wm)
+        t_d = bench_loop(floop, g, wt)
+        t_w = bench_loop(wloop, x, g)
+        # 2x t_f: the measured step runs remat (fwd is recomputed in bwd);
+        # MFU above still uses the useful-FLOPs (3-pass) convention
+        ms = (2 * t_f + t_d + t_w) * 1e3 * cnt
         total_gemm_ms += ms
         rows.append((name, K, N, cnt, t_f, t_d, t_w, fl))
         print(f"[mfu] {name:5s} {K:5d}x{N:5d} x{cnt:2d}: "
@@ -130,9 +150,16 @@ def main():
     h = cfg.num_heads
     q = jax.random.normal(key, (B, L, h, cfg.head_dim), jnp.bfloat16)
     bias = jnp.zeros((L, L), jnp.bfloat16)
-    t_attn = bench(jax.jit(lambda q: attn_fn(q, q, q, bias,
-                                             cfg.head_dim ** -0.5)), q,
-                   iters=args.iters)
+
+    @jax.jit
+    def aloop(q):
+        def body(i, q):
+            y = attn_fn(q, q, q, bias, cfg.head_dim ** -0.5)
+            return q + (jnp.mean(y) * 1e-9).astype(q.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, q))
+
+    t_attn = bench_loop(aloop, q)
     attn_ms = 3 * t_attn * 1e3 * d  # fwd+bwd ~ 3x fwd class
     resid = t_step * 1e3 - total_gemm_ms - attn_ms
     print(f"[mfu] GEMM floor {total_gemm_ms:.1f} ms "
