@@ -231,11 +231,19 @@ def test_server_calibrated_pixel_sites(server_stack):
     interpret-mode kernel) completes requests and its pixels stay within
     the quantized-decoder error class of the sites-less bf16 server."""
     from sdvar_tpu.models import vqvae as VQ
-    from sdvar_tpu.ops.partition import set_pallas_interpret
+    from sdvar_tpu.ops.partition import (
+        get_tp_mesh,
+        set_pallas_interpret,
+        set_tp_mesh,
+    )
 
     var_cfg, vae_cfg, var_params, vae_params = server_stack
     Cvae, pn = vae_cfg.z_channels, PNS[-1]
     cal = jax.random.normal(jax.random.PRNGKey(9), (2, Cvae, pn, pn))
+    # earlier mesh-server tests in this worker leave a TP mesh registered,
+    # which gates the single-chip conv kernel off — clear and restore
+    prev_mesh = get_tp_mesh()
+    set_tp_mesh(None)
     set_pallas_interpret(True)
     try:
         sites = VQ.calibrate_decoder_w8a8(vae_cfg, vae_params, [cal])
@@ -254,6 +262,7 @@ def test_server_calibrated_pixel_sites(server_stack):
             srv2.stop()
     finally:
         set_pallas_interpret(False)
+        set_tp_mesh(prev_mesh)
     assert r_q.ok and r_b.ok
     assert np.isfinite(r_q.image).all()
     # same latent tokens (same seed/label); only the pixel decoder differs

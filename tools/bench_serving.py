@@ -98,6 +98,29 @@ elif mode == "mesh":
     kv_mode = "int8"
     params = _quantize(params)
     extra = dict(mesh_cfg=MeshConfig(data=1, model=len(jax.devices())))
+elif mode == "pixq":
+    # w8a8-int8kv latent decode + CALIBRATED W8A8 pixel decoder (round 5):
+    # calibrate on f_hats from the real decode path, top-level-only sites
+    # (the quality-gate-passing config — BENCHMARKS "Calibrated W8A8").
+    from sdvar_tpu.engine.decode import decode_all_scales
+    from sdvar_tpu.models.vqvae import calibrate_decoder_w8a8
+
+    params = _quantize(params)
+    kv_mode = "int8"
+    cal_fh = []
+    for i in range(2):
+        fh = decode_all_scales(
+            var_cfg, vae_cfg, params, vae_params["quant"],
+            jnp.arange(8, dtype=jnp.int32) + 100 * i,
+            jax.random.PRNGKey(40 + i),
+            SamplingConfig(cfg=1.5, top_k=900, top_p=0.96), jnp.bfloat16,
+            kv_mode="int8")
+        cal_fh.append(np.asarray(fh))
+    sites = calibrate_decoder_w8a8(vae_cfg, vae_params, cal_fh,
+                                   alpha=0.75, min_w=256)
+    extra = dict(pixel_sites=sites)
+    print(f"[serve] calibrated pixel sites: "
+          f"{sum(s is not None for s in sites)} quantized", flush=True)
 
 srv = GenerationServer(
     var_cfg, vae_cfg, params, vae_params,
