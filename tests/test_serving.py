@@ -269,6 +269,28 @@ def test_server_calibrated_pixel_sites(server_stack):
     assert np.abs(r_q.image - r_b.image).mean() < 0.05
 
 
+def test_u8_delivery_matches_f32(server_stack):
+    """deliver="u8": device-side uint8 quantization (4x less device->host
+    traffic). Same seed/label => identical latents; the uint8 image must be
+    the exact 255-quantization of the f32 result."""
+    srv_f = _mk(server_stack)
+    srv_f.start()
+    try:
+        r_f = srv_f.get(srv_f.submit(label=2, seed=5), timeout=180)
+    finally:
+        srv_f.stop()
+    srv_u = _mk(server_stack, deliver="u8")
+    srv_u.start()
+    try:
+        r_u = srv_u.get(srv_u.submit(label=2, seed=5), timeout=180)
+    finally:
+        srv_u.stop()
+    assert r_f.ok and r_u.ok
+    assert r_u.image.dtype == np.uint8 and r_f.image.dtype == np.float32
+    expect = np.clip(r_f.image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(r_u.image, expect)
+
+
 def test_nhwc_encoder_matches_nchw(server_stack):
     """Channels-last tokenizer encoder: f32 NHWC tracks the golden encoder
     to conv-reassociation noise; bf16-NHWC token ids agree with the golden

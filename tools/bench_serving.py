@@ -51,10 +51,15 @@ depth = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 96
 max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 mode = sys.argv[4] if len(sys.argv) > 4 else "w8a8-int8kv"
+# "-u8" suffix on any mode: device-side uint8 pixel delivery (4x less
+# device->host traffic; Result.image becomes (3,H,W) uint8)
+deliver = "f32"
+if mode.endswith("-u8"):
+    deliver, mode = "u8", mode[:-3]
 
 var_cfg = VARConfig(depth=depth)
 vae_cfg = VQVAEConfig()
-print(f"[serve] VAR-d{depth} {mode} max_batch={max_batch}", flush=True)
+print(f"[serve] VAR-d{depth} {mode} deliver={deliver} max_batch={max_batch}", flush=True)
 t0 = time.time()
 params = init_var_params(var_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 jax.block_until_ready(params)
@@ -126,7 +131,7 @@ srv = GenerationServer(
     var_cfg, vae_cfg, params, vae_params,
     samp=SamplingConfig(cfg=1.5, top_k=900, top_p=0.96),
     max_batch=max_batch, buckets=[max_batch], max_wait_ms=20.0,
-    dtype=jnp.bfloat16, kv_mode=kv_mode,
+    dtype=jnp.bfloat16, kv_mode=kv_mode, deliver=deliver,
     **extra,
 )
 srv.start()
@@ -156,7 +161,7 @@ srv.stop()
 
 lat = np.array(sorted(lat))
 occ = srv.stats["occupancy_sum"] / max(srv.stats["batches"], 1)
-print(f"[serve] d{depth} {mode}: {n_req} imgs in {wall:.2f}s = "
+print(f"[serve] d{depth} {mode}(deliver={deliver}): {n_req} imgs in {wall:.2f}s = "
       f"{n_req/wall:.2f} img/s end-to-end (incl. VQVAE decode to pixels)",
       flush=True)
 print(f"[serve] latency p50={lat[len(lat)//2]*1e3:.0f} ms "
