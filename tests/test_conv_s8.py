@@ -130,7 +130,11 @@ def test_calibrated_decoder_tracks_golden_tighter(tmp_path):
     per-tensor W8A8 entry, and the site count matches between passes."""
     from sdvar_tpu.config import VQVAEConfig
     from sdvar_tpu.models import vqvae as VQ
-    from sdvar_tpu.ops.partition import set_pallas_interpret
+    from sdvar_tpu.ops.partition import (
+        get_tp_mesh,
+        set_pallas_interpret,
+        set_tp_mesh,
+    )
 
     cfg = VQVAEConfig(ch=32, ch_mult=(1, 2), z_channels=8,
                       num_res_blocks=1, patch_nums=(1, 2, 4),
@@ -140,6 +144,10 @@ def test_calibrated_decoder_tracks_golden_tighter(tmp_path):
     cal = [jax.random.normal(k, (2, 8, 32, 32)) * 0.5 for k in keys[:2]]
     f_hat = jax.random.normal(keys[2], (1, 8, 32, 32)) * 0.5
     gold = np.asarray(VQ.fhat_to_img(cfg, params, f_hat))
+    # another test in this xdist worker may have left a TP mesh registered,
+    # which gates the single-chip kernel path off — clear and restore
+    prev_mesh = get_tp_mesh()
+    set_tp_mesh(None)
     set_pallas_interpret(True)
     try:
         sites = VQ.calibrate_decoder_w8a8(cfg, params, cal)
@@ -149,6 +157,7 @@ def test_calibrated_decoder_tracks_golden_tighter(tmp_path):
         dyn = np.asarray(VQ.fhat_to_img_nhwc_w8a8(cfg, params, f_hat))
     finally:
         set_pallas_interpret(False)
+        set_tp_mesh(prev_mesh)
     assert np.isfinite(stat).all()
     e_stat = np.abs(stat - gold).mean()
     e_dyn = np.abs(dyn - gold).mean()
@@ -189,7 +198,11 @@ def test_w8a8_decoder_entry_runs_and_tracks_golden():
     in range, and within a loose bound of the f32 golden decoder."""
     from sdvar_tpu.config import VQVAEConfig
     from sdvar_tpu.models import vqvae as VQ
-    from sdvar_tpu.ops.partition import set_pallas_interpret
+    from sdvar_tpu.ops.partition import (
+        get_tp_mesh,
+        set_pallas_interpret,
+        set_tp_mesh,
+    )
 
     cfg = VQVAEConfig(ch=32, ch_mult=(1, 2), z_channels=8,
                       num_res_blocks=1, patch_nums=(1, 2, 4),
@@ -198,11 +211,14 @@ def test_w8a8_decoder_entry_runs_and_tracks_golden():
     # latent 32x32 -> decoder level W=64 >= 32: top level uses the kernel
     f_hat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32, 32)) * 0.5
     gold = np.asarray(VQ.fhat_to_img(cfg, params, f_hat))
+    prev_mesh = get_tp_mesh()
+    set_tp_mesh(None)
     set_pallas_interpret(True)
     try:
         out = np.asarray(VQ.fhat_to_img_nhwc_w8a8(cfg, params, f_hat))
     finally:
         set_pallas_interpret(False)
+        set_tp_mesh(prev_mesh)
     assert np.isfinite(out).all()
     assert out.min() >= -1.0 and out.max() <= 1.0
     assert np.abs(out - gold).mean() < 0.1, np.abs(out - gold).mean()
